@@ -1,0 +1,100 @@
+"""Voxel-grid downsampling with static shapes (masks instead of index lists).
+
+TPU-native equivalents of the reference's scatter-amin voxel downsampling
+(reference utils/tools.py:409-477).  The reference returns a dynamically-sized
+index list via torch.unique + scatter_reduce(amin); XLA needs static shapes, so
+we instead return a *boolean keep-mask* over the (padded) input, computed with a
+single scatter-min into a scratch hash table:
+
+    packed = (quantized_value << IDX_BITS) | point_index
+    table[hash(voxel)] <- min(packed)            (one jnp .at[].min scatter)
+    keep  = table[hash(voxel)] == packed
+
+The arg-min payload trick is the same one the reference uses
+(utils/tools.py:433-441); hashing replaces the exact torch.unique (collision
+probability ~N^2/2H, negligible for H >= 16N, and a lost voxel is re-observed
+next frame).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
+
+_VAL_BITS = 10  # quantization levels for the per-voxel score
+_IDX_BITS = 20  # supports up to 2^20 points per call
+_SENTINEL = jnp.int32(2**30)
+
+
+def _scatter_argmin_mask(key: jax.Array, score_q: jax.Array, valid: jax.Array, table_size: int) -> jax.Array:
+    """Keep-mask of per-key score-argmin winners. score_q: int32 in [0, 2^_VAL_BITS)."""
+    n = key.shape[0]
+    assert n <= (1 << _IDX_BITS), f"too many points for packed argmin: {n}"
+    idx = jnp.arange(n, dtype=jnp.int32)
+    packed = (score_q << _IDX_BITS) | idx
+    packed = jnp.where(valid, packed, _SENTINEL)
+    slot = jnp.where(valid, key, table_size)  # dump slot for padding
+    table = jnp.full((table_size + 1,), _SENTINEL, dtype=jnp.int32)
+    table = table.at[slot].min(packed, mode="drop")
+    return (table[slot] == packed) & valid
+
+
+def voxel_down_sample_mask(points: jax.Array, valid: jax.Array, voxel_size: float,
+                           table_size: int) -> jax.Array:
+    """Keep the point closest to its voxel center (ref utils/tools.py:409-442).
+
+    points: [N,3] (padded); valid: [N] bool. Returns [N] bool keep-mask.
+    """
+    grid = grid_coords(points, voxel_size)
+    key = spatial_hash(grid, table_size)
+    center = (grid.astype(points.dtype) + 0.5) * voxel_size
+    dist2 = jnp.sum((points - center) ** 2, axis=-1)
+    # max distance-to-center inside a voxel is (sqrt(3)/2 * voxel)^2
+    norm = (0.75 * voxel_size * voxel_size)
+    score_q = jnp.clip((dist2 / norm * ((1 << _VAL_BITS) - 1)).astype(jnp.int32), 0, (1 << _VAL_BITS) - 1)
+    return _scatter_argmin_mask(key, score_q, valid, table_size)
+
+
+def voxel_down_sample_min_value_mask(points: jax.Array, valid: jax.Array, voxel_size: float,
+                                     values: jax.Array, table_size: int) -> jax.Array:
+    """Keep the point with the minimum ``values`` per voxel
+    (ref utils/tools.py:444-477; used for time/certainty-preferring rehash).
+    """
+    grid = grid_coords(points, voxel_size)
+    key = spatial_hash(grid, table_size)
+    vmax = jnp.max(jnp.where(valid, values, -jnp.inf))
+    vmin = jnp.min(jnp.where(valid, values, jnp.inf))
+    span = jnp.maximum(vmax - vmin, 1e-12)
+    score_q = jnp.clip(((values - vmin) / span * ((1 << _VAL_BITS) - 1)).astype(jnp.int32),
+                       0, (1 << _VAL_BITS) - 1)
+    return _scatter_argmin_mask(key, score_q, valid, table_size)
+
+
+def random_down_sample_mask(key: jax.Array, n: int, valid: jax.Array, ratio: float) -> jax.Array:
+    """Random decimation keep-mask (ref dataset/slam_dataset.py random downsample)."""
+    keep = jax.random.uniform(key, (n,)) < ratio
+    return keep & valid
+
+
+def crop_mask(points: jax.Array, valid: jax.Array, min_range: float, max_range: float,
+              min_z: float, max_z: float) -> jax.Array:
+    """Range + z crop (ref dataset/slam_dataset.py:260-374 preprocess)."""
+    d = jnp.linalg.norm(points, axis=-1)
+    return (valid & (d > min_range) & (d < max_range)
+            & (points[..., 2] > min_z) & (points[..., 2] < max_z))
+
+
+def pad_to(points, n: int, fill=0.0):
+    """Host-side helper: pad/truncate [M,...] array to [n,...], return (arr, valid)."""
+    import numpy as np
+
+    m = points.shape[0]
+    out_shape = (n,) + points.shape[1:]
+    out = np.full(out_shape, fill, dtype=points.dtype)
+    k = min(m, n)
+    out[:k] = points[:k]
+    valid = np.zeros((n,), dtype=bool)
+    valid[:k] = True
+    return out, valid

@@ -1,0 +1,206 @@
+"""Loop closure detection: scan-context over the local neural point map.
+
+TPU-native re-design of the reference detector (reference utils/loop_detector.py:16-421):
+
+* Descriptor: 20x60 polar (ring x sector) max-height grid built from the local
+  neural point map transformed into the sensor frame
+  (``ptcloud2sc_torch``, utils/loop_detector.py:322-368) — here one jitted
+  scatter-max.
+* Ring key: per-ring occupancy-aware mean (``sc2rk``, :370-371) for cheap
+  prefiltering.
+* Global loop search: ring-key L1 prefilter -> full scan-context cosine
+  distance with brute-force column-roll yaw alignment (:374-395).  The
+  reference rolls in a 60-iteration python loop; here all 60 rolls are one
+  vectorized gather einsum.
+* Lateral "virtual nodes" for translation invariance (:76-129): descriptors
+  are additionally built at +-lateral offsets and matched jointly.
+* Local loop: nearest past pose within the drift radius (:309-319), host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    num_rings: int = 20
+    num_sectors: int = 60
+    max_radius: float = 80.0
+    cosdist_threshold: float = 0.2
+    num_candidates: int = 1
+    virtual_side_count: int = 4
+    virtual_step: float = 2.0          # m lateral shift per virtual node
+    min_travel_dist_ratio: float = 4.0
+    local_map_radius: float = 62.0
+    max_loop_dist: float = 8.0
+    z_check_on: bool = False
+
+    @staticmethod
+    def from_config(cfg) -> "LoopConfig":
+        return LoopConfig(
+            num_rings=cfg.context_shape[0], num_sectors=cfg.context_shape[1],
+            max_radius=cfg.max_range, cosdist_threshold=cfg.context_cosdist_threshold,
+            num_candidates=cfg.context_num_candidates,
+            virtual_side_count=cfg.context_virtual_side_count,
+            min_travel_dist_ratio=cfg.min_loop_travel_dist_ratio,
+            local_map_radius=cfg.local_map_radius, max_loop_dist=cfg.max_loop_dist,
+            z_check_on=cfg.loop_z_check_on)
+
+
+@partial(jax.jit, static_argnames=("num_rings", "num_sectors", "max_radius"))
+def scan_context(points: jax.Array, valid: jax.Array, num_rings: int = 20,
+                 num_sectors: int = 60, max_radius: float = 80.0) -> jax.Array:
+    """Polar max-z descriptor (ref utils/loop_detector.py:322-368).
+
+    points: (N,3) in the sensor frame. Returns (num_rings, num_sectors) f32 with
+    -inf-free 0 fill for empty bins (the reference fills 0 via zeros+scatter_max
+    of z+2.0 then clamps; we scatter-max z directly with a 0 floor after a
+    +2 m sensor-height offset, matching :349-358).
+    """
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(y, x) + jnp.pi              # [0, 2pi)
+    ring = jnp.minimum((r / max_radius * num_rings).astype(jnp.int32), num_rings - 1)
+    sector = jnp.minimum((theta / (2 * jnp.pi) * num_sectors).astype(jnp.int32),
+                         num_sectors - 1)
+    ok = valid & (r < max_radius)
+    flat = jnp.where(ok, ring * num_sectors + sector, num_rings * num_sectors)
+    desc = jnp.zeros((num_rings * num_sectors + 1,), jnp.float32)
+    desc = desc.at[flat].max(jnp.where(ok, z + 2.0, 0.0))
+    return jnp.maximum(desc[:-1].reshape(num_rings, num_sectors), 0.0)
+
+
+def ring_key(desc: jax.Array) -> jax.Array:
+    """Row means (ref utils/loop_detector.py:370-371)."""
+    return jnp.mean(desc, axis=-1)
+
+
+@jax.jit
+def sc_distance_with_yaw(query: jax.Array, candidates: jax.Array):
+    """Min cosine distance over all column rolls, for each candidate
+    (ref utils/loop_detector.py:374-395, fully vectorized).
+
+    query: (R,S); candidates: (M,R,S). Returns (dist (M,), yaw_shift (M,)).
+    """
+    R, S = query.shape
+    rolls = jnp.arange(S)
+    # rolled queries: (S, R, S)
+    idx = (jnp.arange(S)[None, :] + rolls[:, None]) % S
+    q_rolled = query[:, idx]                     # (R, S_roll, S) -> transpose
+    q_rolled = jnp.moveaxis(q_rolled, 1, 0)      # (S_roll, R, S)
+
+    qn = q_rolled / (jnp.linalg.norm(q_rolled, axis=1, keepdims=True) + 1e-9)  # col-norm
+    cn = candidates / (jnp.linalg.norm(candidates, axis=1, keepdims=True) + 1e-9)
+    # column-wise cosine similarity, averaged over non-empty columns (ref :383-389)
+    sim = jnp.einsum("mrs,krs->mks", cn, qn)     # (M, S_roll, S)
+    nonzero = (jnp.linalg.norm(candidates, axis=1) > 1e-6).astype(jnp.float32)  # (M,S)
+    denom = jnp.maximum(jnp.sum(nonzero, axis=-1), 1.0)                          # (M,)
+    mean_sim = jnp.sum(sim * nonzero[:, None, :], axis=-1) / denom[:, None]      # (M,S_roll)
+    best = jnp.max(mean_sim, axis=-1)
+    shift = jnp.argmax(mean_sim, axis=-1)
+    return 1.0 - best, shift
+
+
+class NeuralPointMapContextManager:
+    """History of descriptors + detection logic (ref utils/loop_detector.py:16-256)."""
+
+    def __init__(self, lc: LoopConfig):
+        self.lc = lc
+        self.descriptors: List[np.ndarray] = []      # per frame: (V, R, S) with virtuals
+        self.ring_keys: List[np.ndarray] = []        # (V, R)
+        self.frame_ids: List[int] = []
+
+    def add_node(self, frame_id: int, points: np.ndarray, valid: np.ndarray) -> None:
+        """Build descriptor(s) for this frame's local map in the sensor frame
+        (+ lateral virtual nodes, ref utils/loop_detector.py:76-129)."""
+        lc = self.lc
+        offs = [0.0]
+        for k in range(1, lc.virtual_side_count // 2 + 1):
+            offs += [k * lc.virtual_step, -k * lc.virtual_step]
+        descs, rks = [], []
+        for off in offs:
+            shifted = points.copy()
+            shifted[:, 1] += off
+            d = np.asarray(scan_context(jnp.asarray(shifted), jnp.asarray(valid),
+                                        lc.num_rings, lc.num_sectors, lc.max_radius))
+            descs.append(d)
+            rks.append(np.asarray(ring_key(jnp.asarray(d))))
+        self.descriptors.append(np.stack(descs))
+        self.ring_keys.append(np.stack(rks))
+        self.frame_ids.append(frame_id)
+
+    def detect_global_loop(self, cur_drift: float, travel_dist: List[float],
+                           cur_frame: int, k_prefilter: int = 10
+                           ) -> Tuple[int, float, float]:
+        """Returns (loop_frame_id, cos_dist, yaw_rad) or (-1, inf, 0)
+        (ref utils/loop_detector.py:132-256)."""
+        lc = self.lc
+        if len(self.descriptors) < 2:
+            return -1, np.inf, 0.0
+        cur_desc = self.descriptors[-1][0]           # the non-shifted descriptor
+        cur_rk = self.ring_keys[-1][0]
+
+        min_travel = lc.min_travel_dist_ratio * lc.local_map_radius
+        cands = []
+        for idx in range(len(self.descriptors) - 1):
+            fid = self.frame_ids[idx]
+            if travel_dist[cur_frame] - travel_dist[fid] < min_travel:
+                continue
+            cands.append(idx)
+        if not cands:
+            return -1, np.inf, 0.0
+
+        # ring-key L1 prefilter over all virtual nodes
+        rk_all = np.concatenate([self.ring_keys[i] for i in cands])      # (sumV, R)
+        owner = np.concatenate([[i] * self.ring_keys[i].shape[0] for i in cands])
+        l1 = np.abs(rk_all - cur_rk[None]).sum(axis=1)
+        top = np.argsort(l1)[:k_prefilter]
+
+        desc_all = np.concatenate([self.descriptors[i] for i in cands])  # (sumV, R, S)
+        sel = desc_all[top]
+        dist, shift = sc_distance_with_yaw(jnp.asarray(cur_desc), jnp.asarray(sel))
+        dist, shift = np.asarray(dist), np.asarray(shift)
+        best = int(np.argmin(dist))
+        if dist[best] > lc.cosdist_threshold:
+            return -1, float(dist[best]), 0.0
+        loop_hist_idx = int(owner[top[best]])
+        yaw = 2 * np.pi * float(shift[best]) / lc.num_sectors
+        if yaw > np.pi:
+            yaw -= 2 * np.pi
+        return self.frame_ids[loop_hist_idx], float(dist[best]), yaw
+
+
+def detect_local_loop(pgo_poses: np.ndarray, travel_dist: List[float], cur_frame: int,
+                      drift_radius: float, min_travel_ratio: float,
+                      local_map_radius: float, max_loop_dist: float,
+                      loop_candidate_mask: Optional[np.ndarray] = None
+                      ) -> Tuple[int, float]:
+    """Nearest past pose within the drift radius (ref utils/loop_detector.py:309-319).
+
+    Returns (loop_frame_id, distance) or (-1, inf).
+    """
+    if cur_frame < 2:
+        return -1, np.inf
+    cur_xyz = pgo_poses[cur_frame][:3, 3]
+    min_travel = min_travel_ratio * local_map_radius
+    best, best_d = -1, np.inf
+    for fid in range(cur_frame - 1):
+        if travel_dist[cur_frame] - travel_dist[fid] < min_travel:
+            break
+        if loop_candidate_mask is not None and not loop_candidate_mask[fid]:
+            continue
+        d = float(np.linalg.norm(pgo_poses[fid][:3, 3] - cur_xyz))
+        if d < best_d:
+            best, best_d = fid, d
+    thresh = max(drift_radius, 1.0)
+    if best_d < min(thresh, max_loop_dist):
+        return best, best_d
+    return -1, np.inf

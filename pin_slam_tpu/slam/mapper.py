@@ -1,0 +1,360 @@
+"""Incremental mapping: device-resident replay pool + jitted SDF training step.
+
+TPU-native re-design of the reference mapper (reference utils/mapper.py:110-668):
+
+* The reference's dynamically-growing data pool (utils/mapper.py:71-78,185-266)
+  becomes a fixed-capacity ring buffer with a head pointer; the periodic
+  window-radius filter is a masked compaction (static-shape ``nonzero(size=P)``).
+* The reference's python training loop (15 Adam iters per frame, one kernel
+  launch per op, utils/mapper.py:446-573) becomes ONE jitted ``lax.fori_loop``
+  over iterations: batch index sampling, kNN query, decoding, BCE+eikonal
+  losses, adam update all fused into a single XLA program per frame.
+* Eikonal regularization uses the same decimated central-difference numerical
+  gradient (utils/mapper.py:683-733), i.e. 6 extra feature queries on bs/10
+  points, traced into the same program.
+* Decoder freeze after N frames (utils/tools.py:199-206) is a traced 0/1 gradient
+  scale, avoiding recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pin_slam_tpu.models import decoder as dec
+from pin_slam_tpu.models import neural_points as npts
+from pin_slam_tpu.ops import losses
+from pin_slam_tpu.ops.transforms import transform_points
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    pool_capacity: int
+    new_idx_capacity: int
+    bs: int
+    bs_new_sample: int
+    iters: int
+    lr: float
+    adam_eps: float
+    sigma_sigmoid: float
+    sdf_scale: float
+    loss_weight_on: bool
+    ekional_loss_on: bool
+    weight_e: float
+    gradient_decimation: int
+    num_grad_step: float          # voxel_size * num_grad_step_ratio
+    surface_sample_range: float
+    semantic_on: bool
+    color_on: bool
+    weight_s: float
+    weight_i: float
+    sem_class_count: int = 20
+    window_radius: float = 60.0
+    new_certainty_thre: float = 1.0
+
+    @staticmethod
+    def from_config(cfg) -> "MapperConfig":
+        return MapperConfig(
+            pool_capacity=int(cfg.pool_capacity),
+            new_idx_capacity=min(int(cfg.pool_capacity), 1 << 17),
+            bs=cfg.bs,
+            bs_new_sample=cfg.bs_new_sample,
+            iters=cfg.iters,
+            lr=cfg.lr,
+            adam_eps=cfg.adam_eps,
+            sigma_sigmoid=cfg.sigma_sigmoid_m,
+            sdf_scale=cfg.sdf_scale,
+            loss_weight_on=cfg.loss_weight_on,
+            ekional_loss_on=cfg.ekional_loss_on,
+            weight_e=cfg.weight_e,
+            gradient_decimation=cfg.gradient_decimation,
+            num_grad_step=cfg.voxel_size_m * cfg.num_grad_step_ratio,
+            surface_sample_range=cfg.surface_sample_range_m,
+            semantic_on=cfg.semantic_on,
+            color_on=cfg.color_on,
+            weight_s=cfg.weight_s,
+            weight_i=cfg.weight_i,
+            sem_class_count=cfg.sem_class_count,
+            window_radius=cfg.window_radius,
+            new_certainty_thre=cfg.new_certainty_thre,
+        )
+
+
+class PoolState(NamedTuple):
+    """Replay data pool (ref utils/mapper.py:71-78), fixed capacity P."""
+
+    coord: jax.Array        # (P,3) world-frame sample coords
+    local_coord: jax.Array  # (P,3) sensor-frame coords (for BA re-transforms)
+    sdf_label: jax.Array    # (P,)
+    weight: jax.Array       # (P,) sign flags freespace
+    ts: jax.Array           # (P,) i32 frame id
+    sem_label: Optional[jax.Array]    # (P,) i32
+    color_label: Optional[jax.Array]  # (P,C)
+    head: jax.Array         # () i32 ring write position
+    fill: jax.Array         # () i32 number of valid entries
+    new_idx: jax.Array      # (N_new,) i32 indices of "new-region" samples
+    new_count: jax.Array    # () i32
+
+
+def init_pool(mcfg: MapperConfig, color_channel: int = 3) -> PoolState:
+    P = mcfg.pool_capacity
+    return PoolState(
+        coord=jnp.zeros((P + 1, 3), jnp.float32),
+        local_coord=jnp.zeros((P + 1, 3), jnp.float32),
+        sdf_label=jnp.zeros((P + 1,), jnp.float32),
+        weight=jnp.zeros((P + 1,), jnp.float32),
+        ts=jnp.zeros((P + 1,), jnp.int32),
+        sem_label=jnp.zeros((P + 1,), jnp.int32) if mcfg.semantic_on else None,
+        color_label=jnp.zeros((P + 1, color_channel), jnp.float32) if mcfg.color_on else None,
+        head=jnp.zeros((), jnp.int32),
+        fill=jnp.zeros((), jnp.int32),
+        new_idx=jnp.zeros((mcfg.new_idx_capacity,), jnp.int32),
+        new_count=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("mcfg",))
+def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
+                coord_local: jax.Array, sdf_label: jax.Array, weight: jax.Array,
+                valid: jax.Array, cur_ts: jax.Array,
+                new_mask: jax.Array,
+                sem_label: Optional[jax.Array] = None,
+                color_label: Optional[jax.Array] = None) -> PoolState:
+    """Ring-buffer append of one frame's samples (ref utils/mapper.py:185-199).
+
+    ``new_mask`` flags low-certainty close-to-surface samples for boosted
+    sampling (ref utils/mapper.py:274-310); their pool indices are recorded.
+    """
+    P = mcfg.pool_capacity
+    offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    write = jnp.where(valid, (pool.head + offs) % P, P)
+
+    coord = pool.coord.at[write].set(coord_world)
+    local_coord = pool.local_coord.at[write].set(coord_local)
+    lab = pool.sdf_label.at[write].set(sdf_label)
+    w = pool.weight.at[write].set(weight)
+    ts = pool.ts.at[write].set(jnp.full_like(write, 1) * cur_ts)
+    sem = pool.sem_label.at[write].set(sem_label) if pool.sem_label is not None else None
+    col = pool.color_label.at[write].set(color_label) if pool.color_label is not None else None
+
+    n_added = jnp.sum(valid, dtype=jnp.int32)
+    head = (pool.head + n_added) % P
+    fill = jnp.minimum(pool.fill + n_added, P)
+
+    # record the pool indices of new-region samples of this frame
+    nm = new_mask & valid
+    new_idx = jnp.nonzero(nm, size=mcfg.new_idx_capacity, fill_value=0)[0]
+    new_pool_idx = jnp.where(valid[new_idx], (pool.head + offs[new_idx]) % P, 0)
+    new_count = jnp.minimum(jnp.sum(nm, dtype=jnp.int32), mcfg.new_idx_capacity)
+
+    return pool._replace(coord=coord, local_coord=local_coord, sdf_label=lab, weight=w,
+                         ts=ts, sem_label=sem, color_label=col, head=head, fill=fill,
+                         new_idx=new_pool_idx.astype(jnp.int32), new_count=new_count)
+
+
+@partial(jax.jit, static_argnames=("mcfg",))
+def pool_filter(pool: PoolState, mcfg: MapperConfig, origin: jax.Array) -> PoolState:
+    """Window-radius compaction (ref utils/mapper.py:229-263): drop samples
+    outside ``window_radius`` of the sensor, compact the survivors."""
+    P = mcfg.pool_capacity
+    in_fill = jnp.arange(P + 1, dtype=jnp.int32) < pool.fill
+    d2 = jnp.sum((pool.coord - origin) ** 2, axis=-1)
+    keep = in_fill & (d2 < mcfg.window_radius**2)
+    perm = jnp.nonzero(keep, size=P + 1, fill_value=P)[0].astype(jnp.int32)
+    count = jnp.sum(keep, dtype=jnp.int32)
+    return pool._replace(
+        coord=pool.coord[perm],
+        local_coord=pool.local_coord[perm],
+        sdf_label=pool.sdf_label[perm],
+        weight=pool.weight[perm],
+        ts=pool.ts[perm],
+        sem_label=pool.sem_label[perm] if pool.sem_label is not None else None,
+        color_label=pool.color_label[perm] if pool.color_label is not None else None,
+        head=count % P,
+        fill=count,
+        new_count=jnp.zeros((), jnp.int32),  # frame indices invalidated by compaction
+    )
+
+
+def pool_retransform(pool: PoolState, poses: jax.Array) -> PoolState:
+    """Re-derive world coords of the whole pool from (updated) per-frame poses —
+    used after PGO / BA (ref utils/mapper.py:381-383 ``transform_data_pool``)."""
+    T = poses[pool.ts]
+    coord = jnp.einsum("nij,nj->ni", T[:, :3, :3], pool.local_coord) + T[:, :3, 3]
+    return pool._replace(coord=coord)
+
+
+# ----------------------------------------------------------------------
+# training step
+# ----------------------------------------------------------------------
+
+
+class TrainableParams(NamedTuple):
+    features: jax.Array                 # local map geo features (L+1, F)
+    color_features: Optional[jax.Array]
+    geo: dec.DecoderParams
+    sem: Optional[dec.DecoderParams]
+    color: Optional[dec.DecoderParams]
+
+
+def make_optimizer(mcfg: MapperConfig):
+    """Adam(0.9, 0.99, eps=1e-15) over features + decoders
+    (ref utils/tools.py:89-116, utils/config.py:240-247)."""
+    return optax.adam(learning_rate=mcfg.lr, b1=0.9, b2=0.99, eps=mcfg.adam_eps)
+
+
+def _sample_batch_indices(key, pool: PoolState, mcfg: MapperConfig, use_new: jax.Array):
+    """Mixed new/history batch (ref utils/mapper.py:323-338): up to bs_new from
+    the newly-observed set, the rest uniform over the pool."""
+    k1, k2 = jax.random.split(key)
+    fill = jnp.maximum(pool.fill, 1)
+    idx_hist = jax.random.randint(k1, (mcfg.bs,), 0, fill)
+    n_new = jnp.minimum(pool.new_count, mcfg.bs_new_sample) * use_new.astype(jnp.int32)
+    pick = jax.random.randint(k2, (mcfg.bs_new_sample,), 0, jnp.maximum(pool.new_count, 1))
+    idx_new = pool.new_idx[pick]
+    # the last n_new slots of the batch come from the new set
+    slot = jnp.arange(mcfg.bs)
+    take_new = slot >= (mcfg.bs - n_new)
+    new_for_slot = idx_new[jnp.clip(slot - (mcfg.bs - n_new), 0, mcfg.bs_new_sample - 1)]
+    return jnp.where(take_new, new_for_slot, idx_hist)
+
+
+def _query_sdf(lm, state, mc, mcfg, offsets, travel_dist, cur_ts, pts, params: TrainableParams,
+               after_pgo):
+    """kNN + interpolate + decode at pts. Returns (sdf, knn, weights, features)."""
+    knn = npts.knn_search(state, lm, mc, pts, offsets, travel_dist, cur_ts)
+    lmf = lm._replace(geo_features=params.features)
+    geo_feat, _, w, _ = npts.interpolate_features(lmf, mc, pts, knn.lidx, after_pgo=after_pgo)
+    sdf_pred, _ = dec.blended_sdf(params.geo, geo_feat, w, mc.weighted_first, mcfg.sdf_scale)
+    return sdf_pred, knn, w, geo_feat
+
+
+@partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters"))
+def mapping_loop(lm: npts.LocalMap, state: npts.MapState, mc: npts.MapConfig,
+                 params: TrainableParams, opt_state, pool: PoolState,
+                 mcfg: MapperConfig, offsets: jax.Array, travel_dist: jax.Array,
+                 cur_ts: jax.Array, key: jax.Array, decoder_lr_scale: jax.Array,
+                 use_new: jax.Array, after_pgo: jax.Array, num_iters: int):
+    """The per-frame training loop, fully fused on device
+    (ref utils/mapper.py:425-593 ``mapping``).
+
+    Returns (lm with updated certainties, params, opt_state, loss_history).
+    """
+    opt = make_optimizer(mcfg)
+    dec_ = mcfg.gradient_decimation
+    n_grad = mcfg.bs // dec_
+
+    def one_iter(carry, it_key):
+        lm_c, params_c, opt_state_c = carry
+        k_batch, k_drop = jax.random.split(it_key)
+        idx = _sample_batch_indices(k_batch, pool, mcfg, use_new)
+        coord = pool.coord[idx]
+        sdf_label = pool.sdf_label[idx]
+        weight = jnp.abs(pool.weight[idx])
+        ts_batch = pool.ts[idx]
+        in_pool = idx < pool.fill
+
+        # kNN is pure indexing — hoist it out of the differentiated fn
+        knn = npts.knn_search(state, lm_c, mc, coord, offsets, travel_dist, cur_ts)
+
+        # eikonal stencil points: +-eps along each axis on a decimated subset
+        # (ref utils/mapper.py:683-733)
+        if mcfg.ekional_loss_on:
+            sub = coord[:n_grad]
+            eps_mat = jnp.eye(3, dtype=coord.dtype) * mcfg.num_grad_step
+            stencil = jnp.concatenate(
+                [sub[None] + eps_mat[:, None, :], sub[None] - eps_mat[:, None, :]], axis=0
+            ).reshape(-1, 3)  # (6*n_grad, 3)
+            knn_st = npts.knn_search(state, lm_c, mc, stencil, offsets, travel_dist, cur_ts)
+        else:
+            stencil, knn_st = None, None
+
+        def loss_fn(p: TrainableParams):
+            lmf = lm_c._replace(geo_features=p.features)
+            geo_feat, _, w, _ = npts.interpolate_features(lmf, mc, coord, knn.lidx,
+                                                          after_pgo=after_pgo)
+            sdf_pred, _ = dec.blended_sdf(p.geo, geo_feat, w, mc.weighted_first,
+                                          mcfg.sdf_scale)
+            loss = losses.sdf_bce_loss(sdf_pred, sdf_label, mcfg.sigma_sigmoid,
+                                       weight, mcfg.loss_weight_on, valid=in_pool)
+            aux = {"sdf_loss": loss, "w": jax.lax.stop_gradient(w)}
+
+            if mcfg.ekional_loss_on:
+                geo_st, _, w_st, _ = npts.interpolate_features(lmf, mc, stencil, knn_st.lidx,
+                                                               after_pgo=after_pgo)
+                sdf_st_flat, _ = dec.blended_sdf(p.geo, geo_st, w_st, mc.weighted_first,
+                                                 mcfg.sdf_scale)
+                sdf_st = sdf_st_flat.reshape(6, n_grad)
+                g = jnp.stack(
+                    [(sdf_st[0] - sdf_st[3]), (sdf_st[1] - sdf_st[4]), (sdf_st[2] - sdf_st[5])],
+                    axis=-1) / (2.0 * mcfg.num_grad_step)
+                eik = losses.eikonal_loss(g, valid=in_pool[:n_grad])
+                loss = loss + mcfg.weight_e * eik
+                aux["eikonal_loss"] = eik
+                aux["w_st"] = jax.lax.stop_gradient(w_st)
+
+            if mcfg.semantic_on and p.sem is not None:
+                sem_logp = dec.blended_head(dec.sem_label_prob, p.sem, geo_feat, w,
+                                            mc.weighted_first)
+                sem_lab = pool.sem_label[idx]
+                sem_valid = in_pool & (sem_lab > 0)
+                sem_l = losses.sem_nll_loss(sem_logp, sem_lab, valid=sem_valid)
+                loss = loss + mcfg.weight_s * sem_l
+                aux["sem_loss"] = sem_l
+
+            if mcfg.color_on and p.color is not None:
+                lmc = lmf._replace(color_features=p.color_features)
+                _, color_feat, _, _ = npts.interpolate_features(
+                    lmc, mc, coord, knn.lidx, after_pgo=after_pgo, query_color=True)
+                color_pred = dec.blended_head(dec.regress_color, p.color, color_feat,
+                                              w, mc.weighted_first)
+                surf = in_pool & (jnp.abs(sdf_label) < mcfg.surface_sample_range)
+                col_l = losses.color_diff_loss(color_pred, pool.color_label[idx],
+                                               weight, mcfg.loss_weight_on, valid=surf)
+                loss = loss + mcfg.weight_i * col_l
+                aux["color_loss"] = col_l
+
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_c)
+
+        # decoder freeze: scale decoder grads by 0/1 (ref utils/tools.py:199-206)
+        grads = grads._replace(
+            geo=jax.tree.map(lambda g: g * decoder_lr_scale, grads.geo),
+            sem=jax.tree.map(lambda g: g * decoder_lr_scale, grads.sem)
+            if grads.sem is not None else None,
+            color=jax.tree.map(lambda g: g * decoder_lr_scale, grads.color)
+            if grads.color is not None else None,
+        )
+        updates, opt_state_c = opt.update(grads, opt_state_c, params_c)
+        params_c = optax.apply_updates(params_c, updates)
+        # keep the sentinel feature row pinned at zero
+        params_c = params_c._replace(
+            features=params_c.features.at[mc.local_capacity].set(0.0))
+
+        # certainty bookkeeping (ref model/neural_points.py:634-652)
+        lm_c = npts.accumulate_certainty(lm_c, mc, knn.lidx, aux["w"], query_ts=ts_batch)
+        if mcfg.ekional_loss_on:
+            lm_c = npts.accumulate_certainty(lm_c, mc, knn_st.lidx, aux["w_st"])
+
+        return (lm_c, params_c, opt_state_c), loss
+
+    keys = jax.random.split(key, num_iters)
+    (lm, params, opt_state), loss_hist = jax.lax.scan(one_iter, (lm, params, opt_state), keys)
+    return lm, params, opt_state, loss_hist
+
+
+@partial(jax.jit, static_argnames=("mc", "mcfg"))
+def compute_new_sample_mask(lm: npts.LocalMap, state: npts.MapState, mc: npts.MapConfig,
+                            mcfg: MapperConfig, coord_world: jax.Array, sdf_label: jax.Array,
+                            valid: jax.Array, travel_dist: jax.Array, cur_ts: jax.Array):
+    """Flag current-frame samples in newly-observed regions: low certainty AND
+    close to surface (ref utils/mapper.py:274-310)."""
+    cert = npts.query_certainty(state, lm, mc, coord_world, travel_dist, cur_ts)
+    return (valid & (cert < mcfg.new_certainty_thre)
+            & (jnp.abs(sdf_label) < mcfg.surface_sample_range * 3.0))

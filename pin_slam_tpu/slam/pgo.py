@@ -1,0 +1,233 @@
+"""Pose-graph optimization on SE(3) — host-side sparse Gauss-Newton/LM.
+
+Replaces the reference's gtsam dependency (reference utils/pgo.py:13-173): a
+fixed prior on frame 0, per-frame odometry BetweenFactors (constant diagonal
+covariance or the registration covariance), loop factors, and LM optimization.
+Graphs are tiny (O(frames) nodes), so a scipy sparse normal-equations solve is
+ample (SURVEY.md section 7.0.6).
+
+Conventions: poses are world<-sensor 4x4 f64; edge (i, j, Z) encodes the
+measured relative pose Z = X_i^-1 X_j; residual r = log(Z^-1 X_i^-1 X_j) in
+[rot, trans] ordering; left-multiplicative update X <- X exp(dx).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+
+def _skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0.0]])
+
+
+def se3_log(T: np.ndarray) -> np.ndarray:
+    R, t = T[:3, :3], T[:3, 3]
+    cos = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
+    theta = np.arccos(cos)
+    if theta < 1e-9:
+        w = 0.5 * np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        return np.concatenate([w, t])
+    w = theta / (2 * np.sin(theta)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    S = _skew(w)
+    half = theta / 2
+    Vinv = np.eye(3) - 0.5 * S + (1 - half / np.tan(half)) / theta**2 * (S @ S)
+    return np.concatenate([w, Vinv @ t])
+
+
+def se3_exp(xi: np.ndarray) -> np.ndarray:
+    w, v = xi[:3], xi[3:]
+    theta = np.linalg.norm(w)
+    S = _skew(w)
+    if theta < 1e-9:
+        R = np.eye(3) + S
+        V = np.eye(3) + 0.5 * S
+    else:
+        A = np.sin(theta) / theta
+        B = (1 - np.cos(theta)) / theta**2
+        C = (1 - A) / theta**2
+        R = np.eye(3) + A * S + B * (S @ S)
+        V = np.eye(3) + B * S + C * (S @ S)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v
+    return T
+
+
+def adjoint(T: np.ndarray) -> np.ndarray:
+    R, t = T[:3, :3], T[:3, 3]
+    Ad = np.zeros((6, 6))
+    Ad[:3, :3] = R
+    Ad[3:, 3:] = R
+    Ad[3:, :3] = _skew(t) @ R
+    return Ad
+
+
+@dataclasses.dataclass
+class Edge:
+    i: int
+    j: int
+    Z: np.ndarray                 # measured X_i^-1 X_j
+    info: np.ndarray              # 6x6 information matrix (rot, trans)
+
+
+class PoseGraphManager:
+    """API parity with the reference manager (utils/pgo.py:50-173)."""
+
+    def __init__(self, config=None):
+        self.config = config
+        self.nodes: List[np.ndarray] = []
+        self.edges: List[Edge] = []
+        self.fixed: List[int] = []
+        tran_std = getattr(config, "pgo_tran_std", 0.04) if config else 0.04
+        rot_std_deg = getattr(config, "pgo_rot_std", 0.01) if config else 0.01
+        self.default_info = self._diag_info(np.radians(rot_std_deg), tran_std)
+        self.loop_info = self.default_info
+        self.max_iter = getattr(config, "pgo_max_iter", 50) if config else 50
+        self.min_loop_idx = int(1e9)
+        self.drift_radius = 0.0
+        self.pgo_count = 0
+        self.last_loop_idx = 0
+
+    @staticmethod
+    def _diag_info(rot_std: float, tran_std: float) -> np.ndarray:
+        return np.diag(1.0 / np.array([rot_std**2] * 3 + [tran_std**2] * 3))
+
+    # ------------------------------------------------------------------
+    def add_frame_node(self, idx: int, pose: np.ndarray) -> None:
+        assert idx == len(self.nodes), "nodes must be added in frame order"
+        self.nodes.append(np.asarray(pose, dtype=np.float64).copy())
+        if idx == 0:
+            self.fixed.append(0)
+
+    def add_pose_prior(self, idx: int, pose: np.ndarray, fixed: bool = True) -> None:
+        if fixed and idx not in self.fixed:
+            self.fixed.append(idx)
+        self.nodes[idx] = np.asarray(pose, dtype=np.float64).copy()
+
+    def add_odometry_factor(self, cur_idx: int, prev_idx: int, rel_pose: np.ndarray,
+                            cov: Optional[np.ndarray] = None) -> None:
+        """(ref utils/pgo.py:81-99). rel_pose = X_prev^-1 X_cur."""
+        info = self.default_info if cov is None else np.linalg.inv(cov + 1e-12 * np.eye(6))
+        self.edges.append(Edge(prev_idx, cur_idx, np.asarray(rel_pose, np.float64), info))
+
+    def add_loop_factor(self, cur_idx: int, loop_idx: int, rel_pose: np.ndarray,
+                        cov: Optional[np.ndarray] = None) -> None:
+        """(ref utils/pgo.py:102-120). rel_pose = X_loop^-1 X_cur."""
+        info = self.loop_info if cov is None else np.linalg.inv(cov + 1e-12 * np.eye(6))
+        self.edges.append(Edge(loop_idx, cur_idx, np.asarray(rel_pose, np.float64), info))
+        self.min_loop_idx = min(self.min_loop_idx, loop_idx)
+
+    # ------------------------------------------------------------------
+    def optimize_pose_graph(self, lm_lambda: float = 1e-6) -> np.ndarray:
+        """LM over all nodes (ref utils/pgo.py:122-157). Returns [N,4,4] poses."""
+        n = len(self.nodes)
+        X = [p.copy() for p in self.nodes]
+        fixed = set(self.fixed)
+
+        def total_error(Xs):
+            err = 0.0
+            for e in self.edges:
+                r = se3_log(np.linalg.inv(e.Z) @ np.linalg.inv(Xs[e.i]) @ Xs[e.j])
+                err += r @ e.info @ r
+            return err
+
+        lam = lm_lambda
+        last_err = total_error(X)
+        for _ in range(self.max_iter):
+            rows, cols, vals = [], [], []
+            b = np.zeros(6 * n)
+            for e in self.edges:
+                Ti, Tj, Z = X[e.i], X[e.j], e.Z
+                rel = np.linalg.inv(Ti) @ Tj
+                r = se3_log(np.linalg.inv(Z) @ rel)
+                # right-perturbation jacobians (small-residual approximation
+                # J_r ~ I): d r / d xi_j = I, d r / d xi_i = -Ad(rel^-1)
+                Jj = np.eye(6)
+                Ji = -adjoint(np.linalg.inv(rel))
+                for (a, Ja) in ((e.i, Ji), (e.j, Jj)):
+                    if a in fixed:
+                        continue
+                    b[6 * a:6 * a + 6] += Ja.T @ e.info @ r
+                    for (c, Jc) in ((e.i, Ji), (e.j, Jj)):
+                        if c in fixed:
+                            continue
+                        blk = Ja.T @ e.info @ Jc
+                        for u in range(6):
+                            for v in range(6):
+                                rows.append(6 * a + u)
+                                cols.append(6 * c + v)
+                                vals.append(blk[u, v])
+            H = sp.coo_matrix((vals, (rows, cols)), shape=(6 * n, 6 * n)).tocsr()
+            H = H + lam * sp.diags(H.diagonal() + 1e-9)
+            # fixed nodes: identity rows
+            free_mask = np.ones(6 * n, dtype=bool)
+            for fidx in fixed:
+                free_mask[6 * fidx:6 * fidx + 6] = False
+            Hf = H[free_mask][:, free_mask]
+            bf = b[free_mask]
+            try:
+                dx_f = spla.spsolve(Hf.tocsc(), -bf)
+            except Exception:
+                break
+            dx = np.zeros(6 * n)
+            dx[free_mask] = dx_f
+            X_new = [Xi @ se3_exp(dx[6 * i:6 * i + 6]) if i not in fixed else Xi
+                     for i, Xi in enumerate(X)]
+            err = total_error(X_new)
+            if err < last_err:
+                X = X_new
+                if last_err - err < 1e-9 * max(last_err, 1.0):
+                    last_err = err
+                    break
+                last_err = err
+                lam = max(lam * 0.5, 1e-9)
+            else:
+                lam *= 4.0
+                if lam > 1e3:
+                    break
+        self.pgo_count += 1
+        result = np.stack(X)
+        self.nodes = [p.copy() for p in result]
+        return result
+
+    # ------------------------------------------------------------------
+    def get_pose_diff(self, old_poses: np.ndarray) -> np.ndarray:
+        """Per-frame correction new @ old^-1 applied to map points
+        (ref utils/pgo.py:162-166 combined with pin_slam.py:209-212)."""
+        new_poses = np.stack(self.nodes)
+        n = min(len(old_poses), len(new_poses))
+        return np.einsum("nij,njk->nik", new_poses[:n],
+                         np.linalg.inv(old_poses[:n]))
+
+    def estimate_drift(self, travel_dist: List[float], cur_idx: int,
+                       drift_ratio: float = 0.01) -> float:
+        """Drift proportional to travel distance since the last loop
+        (ref utils/pgo.py:168-173)."""
+        d = travel_dist[cur_idx] - travel_dist[self.last_loop_idx]
+        self.drift_radius = d * drift_ratio
+        return self.drift_radius
+
+    def write_g2o(self, path: str) -> None:
+        """(ref utils/pgo.py:159-160)."""
+        from scipy.spatial.transform import Rotation
+
+        with open(path, "w") as f:
+            for i, T in enumerate(self.nodes):
+                q = Rotation.from_matrix(T[:3, :3]).as_quat()
+                t = T[:3, 3]
+                f.write(f"VERTEX_SE3:QUAT {i} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}\n")
+            for e in self.edges:
+                q = Rotation.from_matrix(e.Z[:3, :3]).as_quat()
+                t = e.Z[:3, 3]
+                upper = []
+                for u in range(6):
+                    for v in range(u, 6):
+                        upper.append(e.info[u, v])
+                f.write(f"EDGE_SE3:QUAT {e.i} {e.j} {t[0]} {t[1]} {t[2]} "
+                        f"{q[0]} {q[1]} {q[2]} {q[3]} " + " ".join(map(str, upper)) + "\n")

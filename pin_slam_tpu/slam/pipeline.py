@@ -1,0 +1,266 @@
+"""The per-frame SLAM orchestration loop — equivalent of the reference's
+``run_pin_slam`` driver (reference pin_slam.py:31-377), re-structured for TPU:
+
+Host (python, f64): pose bookkeeping, constant-velocity guesses, health-gate
+decisions, loop closure + PGO, artifact IO.
+Device (XLA): exactly FOUR jitted programs per frame —
+
+  1. ``_source_prep``  : voxel-downsample + gather the registration source
+  2. ``track_frame``   : the full GN/LM registration while_loop
+  3. ``_frame_update`` : ray sampling -> map insert -> local-map rebuild ->
+                         new-region flags -> replay-pool append (fused)
+  4. ``mapping_loop``  : N Adam iterations (scan), incl. eikonal stencils
+
+The reference dispatches hundreds of individual CUDA ops per frame; on a
+remote-attached TPU every eager dispatch is a round trip, so everything
+per-frame is traced into these few programs (SURVEY.md section 7.0.5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pin_slam_tpu.config import Config
+from pin_slam_tpu.dataset.slam_dataset import SLAMDataset, Frame
+from pin_slam_tpu.models import decoder as dec
+from pin_slam_tpu.models import neural_points as npts
+from pin_slam_tpu.ops.sampler import SamplerConfig, sample_rays
+from pin_slam_tpu.ops.voxel import voxel_down_sample_mask
+from pin_slam_tpu.slam import mapper as mp
+from pin_slam_tpu.slam import tracker as trk
+
+TS_CAPACITY = 1 << 16  # max frames per run (travel-dist array length)
+
+
+class SlamSystem:
+    """Owns all device state + host pose books; drives one frame at a time."""
+
+    def __init__(self, config: Config, dataset: Optional[SLAMDataset] = None):
+        self.config = config
+        self.dataset = dataset if dataset is not None else SLAMDataset(config)
+
+        self.mc = npts.MapConfig.from_config(config)
+        self.mcfg = mp.MapperConfig.from_config(config)
+        self.sc = SamplerConfig.from_config(config)
+        self.tc = trk.TrackerConfig.from_config(config)
+
+        self.offsets = jnp.asarray(npts.neighbor_offsets(
+            config.num_nei_cells, config.search_alpha))
+
+        key = jax.random.PRNGKey(config.seed)
+        self.key, kg, ks, kc = jax.random.split(key, 4)
+        in_dim = config.feature_dim + config.pos_input_dim
+        self.geo_params = dec.init_decoder(kg, in_dim, config.geo_mlp_hidden_dim,
+                                           config.geo_mlp_level, 1, config.mlp_bias_on)
+        self.sem_params = (dec.init_decoder(ks, in_dim, config.sem_mlp_hidden_dim,
+                                            config.sem_mlp_level, config.sem_class_count,
+                                            config.mlp_bias_on)
+                           if config.semantic_on else None)
+        self.color_params = (dec.init_decoder(kc, in_dim, config.color_mlp_hidden_dim,
+                                              config.color_mlp_level,
+                                              max(config.color_channel, 1), config.mlp_bias_on)
+                             if config.color_on else None)
+
+        self.state = npts.init_map_state(self.mc)
+        self.lm = npts.init_local_map(self.mc)
+        self.pool = mp.init_pool(self.mcfg, color_channel=max(config.color_channel, 1))
+        self.after_pgo = False
+        self.sdf_scale = config.sdf_scale
+
+        self.cur_pose = np.eye(4)      # world <- sensor, f64 host
+        self.lm_origin64 = np.zeros(3)
+        self.frame_id = 0
+        self.stage_times = []          # [preprocess, odometry, map-prep+train, pgo]
+
+        # travel-dist device buffer, updated incrementally (one tiny transfer/frame)
+        self._travel = jnp.zeros((TS_CAPACITY,), jnp.float32)
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------------
+    def _build_jitted(self):
+        cfg, mc, mcfg, sc = self.config, self.mc, self.mcfg, self.sc
+        offsets = self.offsets
+
+        @jax.jit
+        def source_prep(points, valid):
+            """Coarse voxel downsample of the registration source cloud
+            (ref utils/config.py:source_vox_down_m), gathered to a fixed bucket."""
+            keep = voxel_down_sample_mask(points, valid, cfg.source_vox_down_m,
+                                          cfg.downsample_hash_size)
+            idx = jnp.nonzero(keep, size=cfg.source_bucket, fill_value=0)[0]
+            return points[idx], keep[idx]
+
+        @jax.jit
+        def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
+                         frame_id, travel, sem_labels, colors):
+            """Stage IV-a fused: sample -> insert -> local map -> new flags ->
+            pool append (ref utils/mapper.py:110-321 ``process_frame``)."""
+            batch = sample_rays(key, sc, points, valid, sem_labels, colors)
+            coord_world = batch.coord @ pose_R.T + pose_t
+            surf_mask = batch.valid & (
+                jnp.abs(batch.sdf_label)
+                < cfg.surface_sample_range_m * cfg.map_surface_ratio)
+            state = npts.map_insert(state, mc, coord_world, surf_mask, frame_id,
+                                    travel,
+                                    downsample_table_size=cfg.downsample_hash_size)
+            lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
+            new_mask = mp.compute_new_sample_mask(lm, state, mc, mcfg, coord_world,
+                                                  batch.sdf_label, batch.valid,
+                                                  travel, frame_id)
+            pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
+                                  batch.sdf_label, batch.weight, batch.valid,
+                                  frame_id, new_mask, batch.sem_label,
+                                  batch.color_label)
+            return state, lm, pool
+
+        @jax.jit
+        def set_travel(travel, frame_id, value):
+            return travel.at[frame_id].set(value)
+
+        self._source_prep = source_prep
+        self._frame_update = frame_update
+        self._set_travel = set_travel
+
+    # ------------------------------------------------------------------
+    def _update_travel(self):
+        i = len(self.dataset.travel_dist) - 1
+        self._travel = self._set_travel(self._travel, jnp.int32(i),
+                                        jnp.float32(self.dataset.travel_dist[-1]))
+        # frames beyond the present keep the last value implicitly (zeros are
+        # fine: queries only index ts <= current frame)
+
+    def process_frame(self, frame: Frame) -> dict:
+        """Run stages I-IV of the reference loop (pin_slam.py:96-269)."""
+        cfg = self.config
+        info = {}
+        t0 = time.perf_counter()
+
+        points = jnp.asarray(frame.points)
+        valid = jnp.asarray(frame.valid)
+
+        # ---------------- II: odometry ----------------
+        t1 = time.perf_counter()
+        if cfg.track_on and self.frame_id > 0:
+            init_pose = self.dataset.initial_guess()
+            origin64 = self.lm_origin64
+            R_init = init_pose[:3, :3].astype(np.float32)
+            t_init = (init_pose[:3, 3] - origin64).astype(np.float32)
+
+            source, src_valid = self._source_prep(points, valid)
+            res = trk.track_frame(
+                self.state, self.lm, self.mc, self.tc, self.geo_params, self.sdf_scale,
+                self.offsets, self._travel, jnp.int32(self.frame_id),
+                source, src_valid, jnp.asarray(R_init), jnp.asarray(t_init))
+            valid_flag = bool(res.valid)
+            if valid_flag:
+                T = np.eye(4)
+                T[:3, :3] = np.asarray(res.R, dtype=np.float64)
+                T[:3, 3] = np.asarray(res.t, dtype=np.float64) + origin64
+                self.cur_pose = T
+            else:
+                self.cur_pose = init_pose
+            self.dataset.update_odom_pose(self.cur_pose, valid_flag)
+            info["reg_valid"] = valid_flag
+            info["reg_residual_cm"] = float(res.sdf_residual_cm)
+            info["reg_iters"] = int(res.iterations)
+            self.last_reg_cov = np.asarray(res.cov, dtype=np.float64)
+        else:
+            if not cfg.track_on and self.dataset.gt_pose_provided:
+                self.cur_pose = self.dataset.gt_poses[self.frame_id].copy()
+            self.dataset.update_odom_pose(self.cur_pose, True)
+            self.last_reg_cov = None
+        self._update_travel()
+
+        # lost frames never touch the map or the pool (ref pin_slam.py:234-239)
+        if self.dataset.lose_track:
+            t2 = time.perf_counter()
+            self.stage_times.append([t1 - t0, t2 - t1, 0.0, 0.0, 0.0])
+            self.dataset.time_table.append(self.stage_times[-1])
+            self.frame_id += 1
+            info["skipped"] = True
+            return info
+
+        # ---------------- IV-a: sampling + map update (fused) ----------------
+        t2 = time.perf_counter()
+        self.key, k_sample, k_train = jax.random.split(self.key, 3)
+        pose_R = jnp.asarray(self.cur_pose[:3, :3].astype(np.float32))
+        pose_t = jnp.asarray(self.cur_pose[:3, 3].astype(np.float32))
+        sem = jnp.asarray(frame.sem_labels) if frame.sem_labels is not None else None
+        col = jnp.asarray(frame.colors) if frame.colors is not None else None
+
+        self.state, self.lm, self.pool = self._frame_update(
+            self.state, self.lm, self.pool, k_sample, points, valid, pose_R, pose_t,
+            jnp.int32(self.frame_id), self._travel, sem, col)
+        self.lm_origin64 = self.cur_pose[:3, 3].copy()
+
+        if (self.frame_id + 1) % cfg.pool_filter_freq == 0:
+            self.pool = mp.pool_filter(self.pool, self.mcfg, pose_t)
+
+        # ---------------- IV-b: mapping (training) ----------------
+        t3 = time.perf_counter()
+        iters = cfg.iters
+        if self.frame_id == 0:
+            iters = cfg.iters * cfg.init_iter_ratio
+        elif self.dataset.stop_status:
+            iters = max(1, cfg.iters // 2)
+
+        params = mp.TrainableParams(
+            features=self.lm.geo_features,
+            color_features=self.lm.color_features,
+            geo=self.geo_params, sem=self.sem_params, color=self.color_params)
+        opt_state = mp.make_optimizer(self.mcfg).init(params)
+        dec_scale = jnp.float32(0.0 if self.frame_id >= cfg.freeze_after_frame else 1.0)
+        use_new = jnp.asarray(not self.dataset.lose_track and not self.dataset.stop_status)
+
+        # run in chunks of cfg.iters so only ONE program shape is ever compiled
+        remaining = int(iters)
+        lm = self.lm
+        loss_first = loss_last = None
+        while remaining > 0:
+            step = min(remaining, cfg.iters)
+            lm, params, opt_state, loss_hist = mp.mapping_loop(
+                lm, self.state, self.mc, params, opt_state, self.pool, self.mcfg,
+                self.offsets, self._travel, jnp.int32(self.frame_id),
+                jax.random.fold_in(k_train, remaining), dec_scale,
+                use_new, jnp.asarray(self.after_pgo), num_iters=int(cfg.iters))
+            if loss_first is None:
+                loss_first = float(loss_hist[0])
+            loss_last = float(loss_hist[-1])
+            remaining -= step
+
+        self.lm = lm._replace(geo_features=params.features,
+                              color_features=params.color_features)
+        self.geo_params, self.sem_params, self.color_params = params.geo, params.sem, params.color
+        self.state = npts.assign_local_to_global(self.state, self.lm, self.mc)
+        info["loss_first"] = loss_first
+        info["loss_last"] = loss_last
+
+        t4 = time.perf_counter()
+        self.stage_times.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3, 0.0])
+        self.dataset.time_table.append(self.stage_times[-1])
+        self.frame_id += 1
+        return info
+
+    # ------------------------------------------------------------------
+    def run(self, num_frames: Optional[int] = None) -> dict:
+        cfg = self.config
+        n = len(self.dataset) if num_frames is None else min(num_frames, len(self.dataset))
+        begin, every = cfg.begin_frame, max(cfg.every_frame, 1)
+        end = cfg.end_frame if cfg.end_frame > 0 else n
+        for i in range(begin, min(end, n), every):
+            frame = self.dataset.preprocess_frame(i)
+            info = self.process_frame(frame)
+            if not cfg.silence:
+                print(f"frame {i}: {info}", flush=True)
+        run_path = cfg.run_path or os.path.join(cfg.output_root, cfg.name or "run")
+        metrics = self.dataset.write_results(run_path)
+        return metrics

@@ -1,0 +1,242 @@
+"""Correspondence-free point-to-implicit registration (odometry).
+
+TPU-native re-design of the reference tracker (reference utils/tracker.py:39-600):
+
+* The reference runs <=50 python iterations, each a chain of CUDA launches plus
+  a float64 6x6 solve (utils/tracker.py:92-135,468-520).  Here the ENTIRE
+  Gauss-Newton/LM loop is one jitted ``lax.while_loop`` on device: transform ->
+  hash query -> SDF + analytic gradient (jax.vjp) -> robust weights -> JtWJ
+  reduction -> damped 6x6 solve -> se(3) update -> convergence/health gates.
+* The reference solves in f64 because its world-frame point coordinates are
+  km-scale (utils/tracker.py:491).  TPUs have no fast f64, so we register in a
+  *sensor-centered shifted frame*: the caller supplies ``origin`` (the initial
+  translation, f64 on host) and the device only ever sees coordinates of
+  magnitude <= max_range.  The normal equations are additionally Jacobi
+  (diagonal) preconditioned, which makes the f32 solve as well-conditioned as
+  the reference's f64 one.
+* Health gates (residual monotonicity, valid-point ratio, final residual,
+  translation-Hessian eigenvalue check; utils/tracker.py:118-174) are computed
+  on device and returned as flags; the host keeps the constant-velocity guess
+  when the flags say the registration failed (utils/tracker.py:170-172).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pin_slam_tpu.models import decoder as dec
+from pin_slam_tpu.models import neural_points as npts
+from pin_slam_tpu.ops.transforms import so3_expmap
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    reg_iter_n: int = 50
+    min_grad_norm: float = 0.5
+    max_grad_norm: float = 2.0
+    GM_dist: float = 0.5
+    GM_grad: float = 0.2
+    lm_lambda: float = 1e-4
+    term_thre_deg: float = 0.01
+    term_thre_m: float = 0.0005
+    max_sdf_std_ratio: float = 1.0
+    surface_sample_range: float = 0.25
+    eigenvalue_check: bool = True
+    consist_weight_on: bool = True
+    mask_min_nn_count: int = 6          # = query_nn_k (ref utils/tracker.py:292)
+    min_valid_points: int = 30
+    min_valid_ratio: float = 0.2
+    max_increment_ratio: float = 1.1
+    eigenvalue_ratio_thre: float = 0.01
+    photometric_on: bool = False
+    photometric_weight: float = 0.01
+    color_channel: int = 0
+
+    @staticmethod
+    def from_config(cfg, loop_reg: bool = False) -> "TrackerConfig":
+        return TrackerConfig(
+            reg_iter_n=cfg.reg_iter_n,
+            min_grad_norm=cfg.reg_min_grad_norm,
+            max_grad_norm=cfg.reg_max_grad_norm,
+            GM_dist=cfg.reg_GM_dist_m,
+            GM_grad=cfg.reg_GM_grad,
+            lm_lambda=cfg.reg_lm_lambda,
+            term_thre_deg=cfg.reg_term_thre_deg,
+            term_thre_m=cfg.reg_term_thre_m,
+            max_sdf_std_ratio=cfg.max_sdf_std_ratio,
+            surface_sample_range=cfg.surface_sample_range_m,
+            eigenvalue_check=cfg.eigenvalue_check,
+            consist_weight_on=cfg.consist_wieght_on,
+            mask_min_nn_count=cfg.query_nn_k,
+            min_valid_ratio=0.15 if loop_reg else 0.2,
+            photometric_on=cfg.photometric_loss_on and cfg.color_on,
+            photometric_weight=cfg.photometric_loss_weight,
+            color_channel=cfg.color_channel,
+        )
+
+
+class TrackResult(NamedTuple):
+    R: jax.Array               # (3,3) rotation, shifted frame == world rotation
+    t: jax.Array               # (3,) translation in the shifted frame
+    valid: jax.Array           # () bool — all health gates passed
+    converged: jax.Array       # () bool
+    iterations: jax.Array      # () i32
+    sdf_residual_cm: jax.Array # () mean |residual| of valid points, cm
+    valid_count: jax.Array     # () i32
+    min_eigenvalue: jax.Array  # () smallest eigenvalue of the translation Hessian
+    cov: jax.Array             # (6,6) covariance estimate (rot, trans)
+
+
+def _gm_weight(k: float, r: jax.Array) -> jax.Array:
+    """Geman-McClure robust weight (k/(k^2+r^2))^2 (ref utils/tracker.py:352-353)."""
+    return (k / (k * k + r * r)) ** 2
+
+
+@partial(jax.jit, static_argnames=("mc", "tc"))
+def track_frame(state: npts.MapState, lm: npts.LocalMap, mc: npts.MapConfig,
+                tc: TrackerConfig, geo_params: dec.DecoderParams, sdf_scale: float,
+                offsets: jax.Array, travel_dist: jax.Array, cur_ts: jax.Array,
+                source: jax.Array, source_valid: jax.Array,
+                R_init: jax.Array, t_init: jax.Array,
+                source_sdf: Optional[jax.Array] = None,
+                color_params: Optional[dec.DecoderParams] = None,
+                source_colors: Optional[jax.Array] = None) -> TrackResult:
+    """Register ``source`` (sensor-frame, padded) against the implicit map.
+
+    R_init/t_init: initial guess with translation EXPRESSED IN THE SHIFTED
+    FRAME (world minus origin); the local-map coordinates seen on device are
+    ``points_shifted + lm.origin``... the neural map stores world-frame f32
+    positions, so query coordinates are reconstructed as shifted + origin where
+    ``origin = lm.origin`` (f32 rounding of the f64 host origin is folded back
+    on the host).
+    """
+    n_src = source.shape[0]
+    src_count = jnp.maximum(jnp.sum(source_valid, dtype=jnp.int32), 1)
+    if source_sdf is None:
+        source_sdf = jnp.zeros((n_src,), source.dtype)
+    origin = lm.origin
+
+    def sdf_fn(pts_world):
+        knn = npts.knn_search(state, lm, mc, pts_world, offsets, travel_dist, cur_ts)
+        geo_feat, _, w, _ = npts.interpolate_features(lm, mc, pts_world, knn.lidx)
+        sdf_pred, sdf_std = dec.blended_sdf(geo_params, geo_feat, w,
+                                            mc.weighted_first, sdf_scale)
+        return sdf_pred, (knn.nn_count, jax.lax.stop_gradient(sdf_std))
+
+    max_sdf_std = tc.surface_sample_range * tc.max_sdf_std_ratio
+
+    def one_step(R, t):
+        cur = source @ R.T + t                       # shifted frame
+        pts_world = cur + origin
+
+        sdf_pred, vjp_fn, (nn_count, sdf_std) = jax.vjp(sdf_fn, pts_world, has_aux=True)
+        grad = vjp_fn(jnp.ones_like(sdf_pred))[0]    # per-point d sdf / d p
+
+        grad_norm = jnp.linalg.norm(grad, axis=-1)
+        mask = (source_valid
+                & (nn_count >= tc.mask_min_nn_count)
+                & (grad_norm > tc.min_grad_norm)
+                & (grad_norm < tc.max_grad_norm)
+                & (sdf_std < max_sdf_std))           # ref utils/tracker.py:305-309
+
+        residual = sdf_pred - source_sdf
+        grad_anomaly = grad_norm - 1.0
+        w = _gm_weight(tc.GM_dist, residual) * _gm_weight(tc.GM_grad, grad_anomaly)
+        w = jnp.where(mask, w, 0.0)
+        valid_count = jnp.sum(mask, dtype=jnp.int32)
+        # normalize weights by 2*mean over valid (ref utils/tracker.py:394)
+        w_mean = jnp.sum(w) / jnp.maximum(valid_count, 1)
+        w = w / jnp.maximum(2.0 * w_mean, 1e-12)
+
+        # J = [p x grad, grad] about the SHIFTED origin -> well-conditioned f32
+        cross = jnp.cross(cur, grad)
+        J = jnp.concatenate([cross, grad], axis=-1)  # (N,6)
+        Jw = J * w[:, None]
+        N = J.T @ Jw                                  # (6,6)
+        g = -(Jw.T @ residual)
+
+        res_cm = jnp.sum(jnp.where(mask, jnp.abs(residual), 0.0)) / jnp.maximum(valid_count, 1) * 100.0
+        return N, g, res_cm, valid_count
+
+    def solve(N, g):
+        # LM diagonal damping + Jacobi preconditioning, f32
+        N_d = N + tc.lm_lambda * jnp.diag(jnp.diag(N))
+        d = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(N_d), 1e-12))
+        Ns = N_d * d[:, None] * d[None, :]
+        xs = jnp.linalg.solve(Ns + 1e-7 * jnp.eye(6, dtype=N.dtype), d * g)
+        return d * xs
+
+    def cond(carry):
+        R, t, i, converged, valid, last_res = carry
+        return (i < tc.reg_iter_n) & ~converged & valid
+
+    def body(carry):
+        R, t, i, converged, valid, last_res = carry
+        N, g, res_cm, valid_count = one_step(R, t)
+        xi = solve(N, g)
+        dR = so3_expmap(xi[:3])
+        dt = xi[3:]
+        R_new = dR @ R
+        t_new = dR @ t + dt                          # delta acts on the left: p' = dR p + dt
+
+        # health gates (ref utils/tracker.py:115-135)
+        grew = (res_cm - last_res) / jnp.maximum(last_res, 1e-9) > tc.max_increment_ratio
+        enough = ((valid_count >= tc.min_valid_points)
+                  & (valid_count.astype(jnp.float32) / src_count.astype(jnp.float32)
+                     >= tc.min_valid_ratio))
+        valid = valid & ~grew & enough
+        last_res = jnp.where(grew, last_res, res_cm)
+
+        rot_deg = jnp.degrees(jnp.arccos(jnp.clip((jnp.trace(dR) - 1) / 2, -1.0, 1.0)))
+        tran_m = jnp.linalg.norm(dt)
+        converged = (rot_deg < tc.term_thre_deg) & (tran_m < tc.term_thre_m)
+
+        return (R_new, t_new, i + 1, converged, valid, last_res)
+
+    init = (R_init.astype(jnp.float32), t_init.astype(jnp.float32),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool), jnp.ones((), bool),
+            jnp.full((), 1e5, jnp.float32))
+    R, t, i, converged, valid, last_res = jax.lax.while_loop(cond, body, init)
+
+    # final statistics at the converged pose (ref utils/tracker.py:137-167)
+    N, g, res_cm, valid_count = one_step(R, t)
+    max_final_res_cm = tc.surface_sample_range * 0.5 * 100.0
+    valid = valid & (res_cm <= max_final_res_cm)
+
+    N_tran = N[3:, 3:]
+    eigs = jnp.linalg.eigvalsh(N_tran)
+    min_eig = eigs[0]
+    if tc.eigenvalue_check:
+        valid = valid & (min_eig >= valid_count.astype(jnp.float32) * tc.eigenvalue_ratio_thre)
+
+    # covariance estimate (ref utils/tracker.py:521-536): inv(N) * weighted mse
+    mse = (res_cm / 100.0) ** 2
+    cov = jnp.linalg.inv(N + 1e-6 * jnp.eye(6, dtype=N.dtype)) * mse
+
+    return TrackResult(R=R, t=t, valid=valid, converged=converged, iterations=i,
+                       sdf_residual_cm=res_cm, valid_count=valid_count,
+                       min_eigenvalue=min_eig, cov=cov)
+
+
+@partial(jax.jit, static_argnames=("mc", "tc"))
+def query_source_points(state: npts.MapState, lm: npts.LocalMap, mc: npts.MapConfig,
+                        tc: TrackerConfig, geo_params: dec.DecoderParams, sdf_scale: float,
+                        offsets: jax.Array, travel_dist: jax.Array, cur_ts: jax.Array,
+                        pts_world: jax.Array):
+    """Standalone SDF + gradient + mask query (ref utils/tracker.py:176-275) —
+    used by the dynamic filter, mesher and diagnostics."""
+    def f(p):
+        knn = npts.knn_search(state, lm, mc, p, offsets, travel_dist, cur_ts)
+        geo_feat, _, w, cert = npts.interpolate_features(lm, mc, p, knn.lidx)
+        sdf_pred, _ = dec.blended_sdf(geo_params, geo_feat, w, mc.weighted_first,
+                                      sdf_scale)
+        return sdf_pred, (knn.nn_count, cert)
+
+    sdf_pred, vjp_fn, (nn_count, cert) = jax.vjp(f, pts_world, has_aux=True)
+    grad = vjp_fn(jnp.ones_like(sdf_pred))[0]
+    return sdf_pred, grad, nn_count, cert

@@ -1,0 +1,111 @@
+"""Scan-context loop detection tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pin_slam_tpu.slam import loop_detector as ld
+
+
+def make_scene(rng, n=4000, seed_shape=0):
+    """A distinctive synthetic 'intersection' scene (local map in sensor frame)."""
+    rs = np.random.default_rng(seed_shape)
+    # buildings: boxes of points at fixed bearings/distances
+    pts = []
+    for cx, cy, h in [(20, 5, 8), (-15, 12, 5), (5, -25, 12), (-20, -10, 3), (30, -18, 6)]:
+        m = n // 5
+        p = rs.uniform(-3, 3, size=(m, 3))
+        p[:, 0] += cx
+        p[:, 1] += cy
+        p[:, 2] = rs.uniform(0, h, size=m) - 1.5
+        pts.append(p)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def rotate_z(points, yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float32)
+    return points @ R.T
+
+
+def test_descriptor_shape_and_content(rng):
+    pts = make_scene(rng)
+    d = np.asarray(ld.scan_context(jnp.asarray(pts), jnp.ones(len(pts), dtype=bool)))
+    assert d.shape == (20, 60)
+    assert (d >= 0).all() and d.max() > 1.0
+    assert (d > 0).sum() > 20  # multiple occupied bins
+
+
+def test_yaw_rotation_shifts_descriptor(rng):
+    pts = make_scene(rng)
+    yaw = 2 * np.pi * 7 / 60  # exactly 7 sectors
+    d0 = np.asarray(ld.scan_context(jnp.asarray(pts), jnp.ones(len(pts), dtype=bool)))
+    d1 = np.asarray(ld.scan_context(jnp.asarray(rotate_z(pts, yaw)),
+                                    jnp.ones(len(pts), dtype=bool)))
+    # rolled d0 should match d1
+    np.testing.assert_allclose(np.roll(d0, 7, axis=1), d1, atol=0.5)
+
+
+def test_sc_distance_yaw_alignment(rng):
+    pts = make_scene(rng)
+    d0 = ld.scan_context(jnp.asarray(pts), jnp.ones(len(pts), dtype=bool))
+    d1 = ld.scan_context(jnp.asarray(rotate_z(pts, 2 * np.pi * 13 / 60)),
+                         jnp.ones(len(pts), dtype=bool))
+    dist, shift = ld.sc_distance_with_yaw(d1, jnp.asarray(d0)[None])
+    assert float(dist[0]) < 0.1
+    assert int(shift[0]) in (13, 47)  # shift or its complement depending on direction
+
+
+def test_manager_detects_revisit(rng):
+    lc = ld.LoopConfig(min_travel_dist_ratio=0.02, local_map_radius=50.0,
+                       cosdist_threshold=0.25)
+    mgr = ld.NeuralPointMapContextManager(lc)
+    travel = [0.0]
+
+    scene_a = make_scene(rng, seed_shape=0)
+    # visit A, then B..E (different scenes), then revisit A rotated by 30 deg
+    for fid, seed in enumerate([0, 1, 2, 3, 4]):
+        pts = make_scene(rng, seed_shape=seed)
+        mgr.add_node(fid, pts, np.ones(len(pts), dtype=bool))
+        travel.append(travel[-1] + 30.0)
+
+    revisit = rotate_z(scene_a, np.pi / 6)
+    mgr.add_node(5, revisit, np.ones(len(revisit), dtype=bool))
+    travel.append(travel[-1] + 30.0)
+
+    loop_id, dist, yaw = mgr.detect_global_loop(1.0, travel, cur_frame=5)
+    assert loop_id == 0, (loop_id, dist)
+    assert dist < 0.25
+    # yaw recovered to within one sector (6 deg)
+    err = abs(((-np.pi / 6) - yaw + np.pi) % (2 * np.pi) - np.pi)
+    err = min(err, abs((np.pi / 6 - yaw + np.pi) % (2 * np.pi) - np.pi))
+    assert err < 0.2, yaw
+
+
+def test_manager_no_false_positive_nearby(rng):
+    """Recently-visited frames (within the travel-dist window) are never
+    candidates (ref utils/loop_detector.py:151-158)."""
+    lc = ld.LoopConfig(min_travel_dist_ratio=4.0, local_map_radius=62.0)
+    mgr = ld.NeuralPointMapContextManager(lc)
+    travel = [0.0]
+    for fid in range(4):
+        pts = make_scene(rng, seed_shape=0)  # identical scenes!
+        mgr.add_node(fid, pts, np.ones(len(pts), dtype=bool))
+        travel.append(travel[-1] + 10.0)  # but hardly any travel
+    loop_id, dist, yaw = mgr.detect_global_loop(1.0, travel, cur_frame=3)
+    assert loop_id == -1
+
+
+def test_detect_local_loop():
+    n = 40
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    # loop trajectory: out along x and back
+    xs = np.concatenate([np.linspace(0, 100, n // 2), np.linspace(100, 2, n // 2)])
+    poses[:, 0, 3] = xs
+    travel = [0.0]
+    for i in range(1, n):
+        travel.append(travel[-1] + abs(xs[i] - xs[i - 1]))
+    loop_id, d = ld.detect_local_loop(poses, travel, n - 1, drift_radius=5.0,
+                                      min_travel_ratio=0.5, local_map_radius=50.0,
+                                      max_loop_dist=8.0)
+    assert loop_id >= 0
+    assert abs(xs[loop_id] - xs[-1]) < 5.0
