@@ -73,9 +73,8 @@ def main():
         if frame_id > 0:
             src = pts[:n_src]
             t0 = time.perf_counter()
-            res = trk.track_frame(state, lm, mc, tc, params.geo, 0.055, offsets,
-                                  travel, jnp.int32(frame_id), jnp.asarray(src),
-                                  jnp.ones((n_src,), bool),
+            res = trk.track_frame(lm, mc, tc, params.geo, 0.055, offsets,
+                                  jnp.asarray(src), jnp.ones((n_src,), bool),
                                   jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
             jax.block_until_ready(res.t)
             timings["track_s"] = time.perf_counter() - t0
@@ -103,8 +102,8 @@ def main():
         opt_state = mp.make_optimizer(mcfg).init(params)
         t0 = time.perf_counter()
         lm2, params, _, _ = mp.mapping_loop(
-            lm, state, mc, params, opt_state, pool, mcfg, offsets, travel,
-            jnp.int32(frame_id), jax.random.fold_in(key, 1000 + frame_id),
+            lm, mc, params, opt_state, pool, mcfg, offsets,
+            jax.random.fold_in(key, 1000 + frame_id),
             jnp.float32(1.0), jnp.zeros((), bool), jnp.zeros((), bool),
             num_iters=mcfg.iters)
         jax.block_until_ready(params.features)

@@ -58,6 +58,7 @@ class MapConfig:
     weighted_first: bool = True   # True: blend features then decode once;
     #                               False: decode each neighbor, blend SDFs
     #                               (ref utils/config.py:89, neural_points.py:660-665)
+    local_hash_size: int = 1 << 22  # slots of the per-frame packed local hash
 
     @staticmethod
     def from_config(cfg) -> "MapConfig":
@@ -76,6 +77,7 @@ class MapConfig:
             use_mid_ts=cfg.use_mid_ts,
             layer_norm_on=cfg.layer_norm_on,
             weighted_first=cfg.weighted_first,
+            local_hash_size=max(1 << 20, 1 << (int(cfg.local_map_capacity) - 1).bit_length() + 4),
         )
 
 
@@ -107,7 +109,14 @@ class MapState(NamedTuple):
 class LocalMap(NamedTuple):
     """Fixed-size trainable window of the map (ref model/neural_points.py:272-313).
 
-    All arrays have ``local_capacity+1`` rows; row L is the sentinel.
+    All per-point arrays have ``local_capacity+1`` rows; row L is the sentinel.
+
+    TPU layout notes: random row-gathers are the hot-path cost (~3 ms per 540k
+    rows on v5e), so everything a kNN probe needs is packed into ONE 16-byte
+    row of ``hash_rows`` (position + local index), and everything interpolation
+    needs beyond the trainable features into one 32-byte row of ``pose_rows``
+    (position, quaternion, certainty snapshot).  This replaces the reference's
+    five separate gathers per probe (model/neural_points.py:476-499,555-616).
     """
 
     indices: jax.Array         # (L+1,) i32 local->global, pad = cap
@@ -120,6 +129,8 @@ class LocalMap(NamedTuple):
     count: jax.Array           # () i32
     global2local: jax.Array    # (cap+1,) i32 -> [0,L], sentinel L
     origin: jax.Array          # (3,) f32 sensor position at (re)build time
+    hash_rows: jax.Array       # (H_l+1, 4) f32: [x, y, z, bitcast(local idx)]
+    pose_rows: jax.Array       # (L+1, 8) f32: [x, y, z, qw, qx, qy, qz, certainty]
 
 
 # ----------------------------------------------------------------------
@@ -142,19 +153,46 @@ def init_map_state(mc: MapConfig) -> MapState:
     )
 
 
+def _pack_hash_rows(mc: MapConfig, positions: jax.Array, count: jax.Array) -> jax.Array:
+    """Build the packed per-frame local hash: slot -> [x, y, z, bitcast(lidx)]."""
+    L, Hl = mc.local_capacity, mc.local_hash_size
+    lidx = jnp.arange(L + 1, dtype=jnp.int32)
+    active = lidx < count
+    h = spatial_hash(grid_coords(positions, mc.voxel_size), Hl)
+    slot = jnp.where(active, h, Hl)                      # pads go to the dump slot
+    rows = jnp.concatenate(
+        [positions, jax.lax.bitcast_convert_type(lidx, jnp.float32)[:, None]], axis=1)
+    sentinel_row = jnp.concatenate(
+        [jnp.full((3,), _SENTINEL_POS, jnp.float32),
+         jax.lax.bitcast_convert_type(jnp.int32(L), jnp.float32)[None]])
+    table = jnp.broadcast_to(sentinel_row, (Hl + 1, 4))
+    return table.at[slot].set(rows)
+
+
+def _pack_pose_rows(positions: jax.Array, orientations: jax.Array,
+                    certainties: jax.Array) -> jax.Array:
+    return jnp.concatenate([positions, orientations, certainties[:, None]], axis=1)
+
+
 def init_local_map(mc: MapConfig) -> LocalMap:
     L, F = mc.local_capacity, mc.feature_dim
+    positions = jnp.full((L + 1, 3), _SENTINEL_POS, dtype=jnp.float32)
+    orientations = jnp.zeros((L + 1, 4), dtype=jnp.float32).at[:, 0].set(1.0)
+    certainties = jnp.zeros((L + 1,), dtype=jnp.float32)
+    count = jnp.zeros((), dtype=jnp.int32)
     return LocalMap(
         indices=jnp.full((L + 1,), mc.capacity, dtype=jnp.int32),
-        positions=jnp.full((L + 1, 3), _SENTINEL_POS, dtype=jnp.float32),
-        orientations=jnp.zeros((L + 1, 4), dtype=jnp.float32).at[:, 0].set(1.0),
+        positions=positions,
+        orientations=orientations,
         geo_features=jnp.zeros((L + 1, F), dtype=jnp.float32),
         color_features=jnp.zeros((L + 1, F), dtype=jnp.float32) if mc.color_on else None,
-        certainties=jnp.zeros((L + 1,), dtype=jnp.float32),
+        certainties=certainties,
         ts_update=jnp.zeros((L + 1,), dtype=jnp.int32),
-        count=jnp.zeros((), dtype=jnp.int32),
+        count=count,
         global2local=jnp.full((mc.capacity + 1,), L, dtype=jnp.int32),
         origin=jnp.zeros((3,), dtype=jnp.float32),
+        hash_rows=_pack_hash_rows(mc, positions, count),
+        pose_rows=_pack_pose_rows(positions, orientations, certainties),
     )
 
 
@@ -278,7 +316,9 @@ def build_local_map(state: MapState, mc: MapConfig, origin: jax.Array,
     return LocalMap(indices=idx_pad, positions=positions, orientations=orientations,
                     geo_features=geo_features, color_features=color_features,
                     certainties=certainties, ts_update=ts_update, count=count,
-                    global2local=global2local, origin=origin.astype(jnp.float32))
+                    global2local=global2local, origin=origin.astype(jnp.float32),
+                    hash_rows=_pack_hash_rows(mc, positions, count),
+                    pose_rows=_pack_pose_rows(positions, orientations, certainties))
 
 
 def assign_local_to_global(state: MapState, lm: LocalMap, mc: MapConfig) -> MapState:
@@ -308,34 +348,35 @@ class KnnResult(NamedTuple):
     nn_count: jax.Array   # (B,) valid neighbors BEFORE top-k (can exceed k)
 
 
-def knn_search(state: MapState, lm: LocalMap, mc: MapConfig, points: jax.Array,
-               offsets: jax.Array, travel_dist: jax.Array, cur_ts: jax.Array,
-               time_filtering: bool = True) -> KnnResult:
+def knn_search(lm: LocalMap, mc: MapConfig, points: jax.Array,
+               offsets: jax.Array) -> KnnResult:
     """Voxel-hash neighborhood probe + top-k by distance
     (ref model/neural_points.py:459-509 ``radius_neighborhood_search`` +
     :555-565 sort/top-k).  Non-differentiable (pure indexing).
 
+    TPU-first: ONE packed row-gather from ``lm.hash_rows`` yields neighbor
+    position + local index together; the reference's separate hash-table /
+    position / timestamp / travel-dist / global2local gathers
+    (model/neural_points.py:476-499) collapse into it.  The travel-dist
+    time filter is inherent: the local map is built time-windowed
+    (build_local_map), so every row in the table already satisfies it.
+
     points: (B,3); offsets: (K,3) int32 template.
     Returns local indices into ``lm`` arrays (sentinel = local_capacity).
     """
-    cap, L = mc.capacity, mc.local_capacity
+    L = mc.local_capacity
 
     grid = grid_coords(points, mc.voxel_size)                  # (B,3)
     cells = grid[:, None, :] + offsets[None, :, :]             # (B,K,3)
-    h = spatial_hash(cells, mc.hash_size)                      # (B,K)
-    gidx = state.hash_table[h]                                 # (B,K)
+    h = spatial_hash(cells, mc.local_hash_size)                # (B,K)
+    rows = lm.hash_rows[h]                                     # (B,K,4) one gather
+    nbr = rows[..., :3]
+    lidx = jax.lax.bitcast_convert_type(rows[..., 3], jnp.int32)
 
-    if time_filtering:
-        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[state.ts_create[gidx]])
-        gidx = jnp.where(dtd < mc.travel_dist_window, gidx, cap)
-
-    nbr = state.positions[gidx]                                # (B,K,3)
     d = nbr - points[:, None, :]
     dist2 = jnp.sum(d * d, axis=-1)                            # (B,K)
-    gidx = jnp.where(dist2 <= mc.max_valid_dist2, gidx, cap)   # hash-collision filter
-
-    lidx = lm.global2local[gidx]                               # (B,K), sentinel L
-    valid = lidx < L
+    valid = (lidx < L) & (dist2 <= mc.max_valid_dist2)         # collision filter
+    lidx = jnp.where(valid, lidx, L)
     nn_count = jnp.sum(valid, axis=-1, dtype=jnp.int32)
 
     dist2 = jnp.where(valid, dist2, _INVALID_DIST2)
@@ -362,14 +403,16 @@ def interpolate_features(lm: LocalMap, mc: MapConfig, points: jax.Array,
     valid = knn_lidx < L                                        # (B,k)
     safe_idx = jnp.where(valid, knn_lidx, L)
 
-    nbr_pos = lm.positions[safe_idx]                            # (B,k,3)
+    pose = lm.pose_rows[safe_idx]                               # (B,k,8) one gather
+    nbr_pos = pose[..., :3]
+    quat = pose[..., 3:7]
+    cert = pose[..., 7]
     vec = points[:, None, :] - nbr_pos
     dist2 = jnp.sum(vec * vec, axis=-1)                         # (B,k) differentiable
     dist2 = jnp.where(valid, dist2, _INVALID_DIST2)
 
     # after_pgo may be a traced bool: rotate the offset vector into each neural
     # point's frame (ref model/neural_points.py:606-607) and select
-    quat = lm.orientations[safe_idx]
     vec_rot = apply_quaternion_rotation(quat, vec)
     vec = jnp.where(jnp.asarray(after_pgo), vec_rot, vec)
     vec = jnp.where(valid[..., None], vec, 0.0)
@@ -402,7 +445,9 @@ def interpolate_features(lm: LocalMap, mc: MapConfig, points: jax.Array,
         color_out = (jnp.sum(color_vec * w[..., None], axis=1)
                      if mc.weighted_first else color_vec)
 
-    cert = jnp.where(valid, lm.certainties[safe_idx], 0.0)
+    # certainty snapshot from the packed row (within-frame staleness during
+    # training is harmless: the live accumulator is lm.certainties)
+    cert = jnp.where(valid, cert, 0.0)
     certainty_q = jnp.sum(cert * w, axis=-1)
 
     return geo_out, color_out, w, certainty_q
@@ -426,14 +471,12 @@ def accumulate_certainty(lm: LocalMap, mc: MapConfig, knn_lidx: jax.Array,
     return lm._replace(certainties=certainties, ts_update=ts_update)
 
 
-def query_certainty(state: MapState, lm: LocalMap, mc: MapConfig, points: jax.Array,
-                    travel_dist: jax.Array, cur_ts: jax.Array) -> jax.Array:
+def query_certainty(lm: LocalMap, mc: MapConfig, points: jax.Array) -> jax.Array:
     """Max neighbor certainty in the query's own voxel
     (ref model/neural_points.py:511-525; the reference narrows the search
     template to the center cell only, utils/mapper.py:297-303)."""
     center = np.zeros((1, 3), dtype=np.int32)
-    res = knn_search(state, lm, mc, points, jnp.asarray(center), travel_dist, cur_ts,
-                     time_filtering=False)
+    res = knn_search(lm, mc, points, jnp.asarray(center))
     valid = res.lidx < mc.local_capacity
     cert = jnp.where(valid, lm.certainties[jnp.where(valid, res.lidx, mc.local_capacity)], 0.0)
     return jnp.max(cert, axis=-1)

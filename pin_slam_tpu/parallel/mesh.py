@@ -67,19 +67,16 @@ def make_sharded_train_step(mesh: Mesh, mc: npts.MapConfig, mcfg: mp.MapperConfi
     """Jitted data-parallel train step: batch sharded over DATA_AXIS, map +
     decoder replicated; the gradient all-reduce rides ICI (inserted by XLA).
 
-    Returns step(state, lm, params, opt_state, batch, travel, cur_ts) ->
-    (params, opt_state, loss).
+    Returns step(lm, params, opt_state, batch) -> (params, opt_state, loss).
     """
     opt = mp.make_optimizer(mcfg)
 
     @partial(jax.jit,
-             static_argnums=(),
-             in_shardings=(replicated(mesh), replicated(mesh), replicated(mesh),
-                           replicated(mesh), batch_sharded(mesh), replicated(mesh),
-                           replicated(mesh)),
+             in_shardings=(replicated(mesh), replicated(mesh),
+                           replicated(mesh), batch_sharded(mesh)),
              out_shardings=(replicated(mesh), replicated(mesh), replicated(mesh)))
-    def step(state, lm, params, opt_state, batch: ShardedBatch, travel, cur_ts):
-        knn = npts.knn_search(state, lm, mc, batch.coord, offsets, travel, cur_ts)
+    def step(lm, params, opt_state, batch: ShardedBatch):
+        knn = npts.knn_search(lm, mc, batch.coord, offsets)
 
         def loss_fn(p: mp.TrainableParams):
             lmf = lm._replace(geo_features=p.features)
@@ -105,12 +102,10 @@ def make_sharded_query(mesh: Mesh, mc: npts.MapConfig, offsets: jax.Array,
     (mesh grid queries / registration query fan-out)."""
 
     @partial(jax.jit,
-             in_shardings=(replicated(mesh), replicated(mesh), replicated(mesh),
-                           batch_sharded(mesh), replicated(mesh), replicated(mesh)),
+             in_shardings=(replicated(mesh), replicated(mesh), batch_sharded(mesh)),
              out_shardings=(batch_sharded(mesh), batch_sharded(mesh)))
-    def query(state, lm, geo_params, pts, travel, cur_ts):
-        knn = npts.knn_search(state, lm, mc, pts, offsets, travel, cur_ts,
-                              time_filtering=False)
+    def query(lm, geo_params, pts):
+        knn = npts.knn_search(lm, mc, pts, offsets)
         feat, _, w, _ = npts.interpolate_features(lm, mc, pts, knn.lidx)
         sdf, _ = dec.blended_sdf(geo_params, feat, w, mc.weighted_first, sdf_scale)
         return sdf, knn.nn_count

@@ -224,10 +224,9 @@ def _sample_batch_indices(key, pool: PoolState, mcfg: MapperConfig, use_new: jax
     return jnp.where(take_new, new_for_slot, idx_hist)
 
 
-def _query_sdf(lm, state, mc, mcfg, offsets, travel_dist, cur_ts, pts, params: TrainableParams,
-               after_pgo):
+def _query_sdf(lm, mc, mcfg, offsets, pts, params: TrainableParams, after_pgo):
     """kNN + interpolate + decode at pts. Returns (sdf, knn, weights, features)."""
-    knn = npts.knn_search(state, lm, mc, pts, offsets, travel_dist, cur_ts)
+    knn = npts.knn_search(lm, mc, pts, offsets)
     lmf = lm._replace(geo_features=params.features)
     geo_feat, _, w, _ = npts.interpolate_features(lmf, mc, pts, knn.lidx, after_pgo=after_pgo)
     sdf_pred, _ = dec.blended_sdf(params.geo, geo_feat, w, mc.weighted_first, mcfg.sdf_scale)
@@ -235,10 +234,10 @@ def _query_sdf(lm, state, mc, mcfg, offsets, travel_dist, cur_ts, pts, params: T
 
 
 @partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters"))
-def mapping_loop(lm: npts.LocalMap, state: npts.MapState, mc: npts.MapConfig,
+def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
                  params: TrainableParams, opt_state, pool: PoolState,
-                 mcfg: MapperConfig, offsets: jax.Array, travel_dist: jax.Array,
-                 cur_ts: jax.Array, key: jax.Array, decoder_lr_scale: jax.Array,
+                 mcfg: MapperConfig, offsets: jax.Array,
+                 key: jax.Array, decoder_lr_scale: jax.Array,
                  use_new: jax.Array, after_pgo: jax.Array, num_iters: int):
     """The per-frame training loop, fully fused on device
     (ref utils/mapper.py:425-593 ``mapping``).
@@ -260,7 +259,7 @@ def mapping_loop(lm: npts.LocalMap, state: npts.MapState, mc: npts.MapConfig,
         in_pool = idx < pool.fill
 
         # kNN is pure indexing — hoist it out of the differentiated fn
-        knn = npts.knn_search(state, lm_c, mc, coord, offsets, travel_dist, cur_ts)
+        knn = npts.knn_search(lm_c, mc, coord, offsets)
 
         # eikonal stencil points: +-eps along each axis on a decimated subset
         # (ref utils/mapper.py:683-733)
@@ -270,7 +269,7 @@ def mapping_loop(lm: npts.LocalMap, state: npts.MapState, mc: npts.MapConfig,
             stencil = jnp.concatenate(
                 [sub[None] + eps_mat[:, None, :], sub[None] - eps_mat[:, None, :]], axis=0
             ).reshape(-1, 3)  # (6*n_grad, 3)
-            knn_st = npts.knn_search(state, lm_c, mc, stencil, offsets, travel_dist, cur_ts)
+            knn_st = npts.knn_search(lm_c, mc, stencil, offsets)
         else:
             stencil, knn_st = None, None
 
@@ -350,11 +349,11 @@ def mapping_loop(lm: npts.LocalMap, state: npts.MapState, mc: npts.MapConfig,
 
 
 @partial(jax.jit, static_argnames=("mc", "mcfg"))
-def compute_new_sample_mask(lm: npts.LocalMap, state: npts.MapState, mc: npts.MapConfig,
+def compute_new_sample_mask(lm: npts.LocalMap, mc: npts.MapConfig,
                             mcfg: MapperConfig, coord_world: jax.Array, sdf_label: jax.Array,
-                            valid: jax.Array, travel_dist: jax.Array, cur_ts: jax.Array):
+                            valid: jax.Array):
     """Flag current-frame samples in newly-observed regions: low certainty AND
     close to surface (ref utils/mapper.py:274-310)."""
-    cert = npts.query_certainty(state, lm, mc, coord_world, travel_dist, cur_ts)
+    cert = npts.query_certainty(lm, mc, coord_world)
     return (valid & (cert < mcfg.new_certainty_thre)
             & (jnp.abs(sdf_label) < mcfg.surface_sample_range * 3.0))

@@ -45,22 +45,20 @@ class MesherConfig:
 
 
 @partial(jax.jit, static_argnames=("mc",))
-def _grid_query(state: npts.MapState, lm: npts.LocalMap, mc: npts.MapConfig,
+def _grid_query(lm: npts.LocalMap, mc: npts.MapConfig,
                 geo_params: dec.DecoderParams, sdf_scale: float, offsets: jax.Array,
-                travel_dist: jax.Array, cur_ts: jax.Array, pts: jax.Array):
+                pts: jax.Array):
     """One padded chunk of SDF + neighbor-count queries (ref utils/mesher.py:41-136)."""
-    knn = npts.knn_search(state, lm, mc, pts, offsets, travel_dist, cur_ts,
-                          time_filtering=False)
+    knn = npts.knn_search(lm, mc, pts, offsets)
     feat, _, w, _ = npts.interpolate_features(lm, mc, pts, knn.lidx)
     sdf, _ = dec.blended_sdf(geo_params, feat, w, mc.weighted_first, sdf_scale)
     return sdf, knn.nn_count
 
 
 @partial(jax.jit, static_argnames=("mc",))
-def _grid_query_color_sem(state, lm, mc, geo_params, color_params, sem_params,
-                          sdf_scale: float, offsets, travel_dist, cur_ts, pts):
-    knn = npts.knn_search(state, lm, mc, pts, offsets, travel_dist, cur_ts,
-                          time_filtering=False)
+def _grid_query_color_sem(lm, mc, geo_params, color_params, sem_params,
+                          sdf_scale: float, offsets, pts):
+    knn = npts.knn_search(lm, mc, pts, offsets)
     geo_feat, color_feat, w, _ = npts.interpolate_features(
         lm, mc, pts, knn.lidx, query_color=color_params is not None)
     color = (dec.blended_head(dec.regress_color, color_params, color_feat, w,
@@ -79,7 +77,7 @@ class Mesher:
         self.offsets = offsets
 
     # ------------------------------------------------------------------
-    def query_sdf_grid(self, state, lm, geo_params, sdf_scale, travel_dist, cur_ts,
+    def query_sdf_grid(self, lm, geo_params, sdf_scale,
                        coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Batched SDF query over arbitrary world coords (host numpy in/out)."""
         n = coords.shape[0]
@@ -90,13 +88,13 @@ class Mesher:
             e = min(s + B, n)
             chunk = np.zeros((B, 3), np.float32)
             chunk[: e - s] = coords[s:e]
-            sdf, nn = _grid_query(state, lm, self.mc, geo_params, sdf_scale,
-                                  self.offsets, travel_dist, cur_ts, jnp.asarray(chunk))
+            sdf, nn = _grid_query(lm, self.mc, geo_params, sdf_scale,
+                                  self.offsets, jnp.asarray(chunk))
             sdf_out[s:e] = np.asarray(sdf[: e - s])
             nn_out[s:e] = np.asarray(nn[: e - s])
         return sdf_out, nn_out
 
-    def recon_aabb_mesh(self, state, lm, geo_params, sdf_scale, travel_dist, cur_ts,
+    def recon_aabb_mesh(self, lm, geo_params, sdf_scale,
                         aabb_min: np.ndarray, aabb_max: np.ndarray,
                         color_params=None, sem_params=None):
         """Reconstruct one AABB (ref utils/mesher.py:420-485).
@@ -114,8 +112,7 @@ class Mesher:
         grid = np.stack(np.meshgrid(ii, jj, kk, indexing="ij"), axis=-1).reshape(-1, 3) * res
         grid = grid.astype(np.float32)
 
-        sdf, nn = self.query_sdf_grid(state, lm, geo_params, sdf_scale,
-                                      travel_dist, cur_ts, grid)
+        sdf, nn = self.query_sdf_grid(lm, geo_params, sdf_scale, grid)
         sdf3 = sdf.reshape(dims)
         mask3 = (nn >= self.cfg.mesh_min_nn).reshape(dims) if self.cfg.mc_mask_on else None
 
@@ -128,20 +125,18 @@ class Mesher:
                                                            self.cfg.min_cluster_vertices)
         colors = sems = None
         if verts.shape[0] and (color_params is not None or sem_params is not None):
-            colors, sems = self._paint_vertices(state, lm, geo_params, color_params,
-                                                sem_params, sdf_scale, travel_dist,
-                                                cur_ts, verts)
+            colors, sems = self._paint_vertices(lm, geo_params, color_params,
+                                                sem_params, sdf_scale, verts)
         return verts, faces, colors, sems
 
-    def recon_aabb_collections_mesh(self, state, lm, geo_params, sdf_scale,
-                                    travel_dist, cur_ts, aabbs: List[Tuple[np.ndarray, np.ndarray]],
+    def recon_aabb_collections_mesh(self, lm, geo_params, sdf_scale,
+                                    aabbs: List[Tuple[np.ndarray, np.ndarray]],
                                     color_params=None, sem_params=None):
         """Chunked reconstruction over a list of AABBs (ref utils/mesher.py:396-418)."""
         all_v, all_f, all_c, all_s = [], [], [], []
         off = 0
         for amin, amax in aabbs:
-            v, f, c, s = self.recon_aabb_mesh(state, lm, geo_params, sdf_scale,
-                                              travel_dist, cur_ts, amin, amax,
+            v, f, c, s = self.recon_aabb_mesh(lm, geo_params, sdf_scale, amin, amax,
                                               color_params, sem_params)
             if v.shape[0] == 0:
                 continue
@@ -159,8 +154,8 @@ class Mesher:
                 np.concatenate(all_c) if all_c else None,
                 np.concatenate(all_s) if all_s else None)
 
-    def _paint_vertices(self, state, lm, geo_params, color_params, sem_params,
-                        sdf_scale, travel_dist, cur_ts, verts: np.ndarray):
+    def _paint_vertices(self, lm, geo_params, color_params, sem_params,
+                        sdf_scale, verts: np.ndarray):
         """Vertex color/semantic estimation (ref utils/mesher.py:339-365)."""
         n = verts.shape[0]
         B = self.cfg.query_bucket
@@ -170,9 +165,9 @@ class Mesher:
             e = min(s + B, n)
             chunk = np.zeros((B, 3), np.float32)
             chunk[: e - s] = verts[s:e]
-            c, sm = _grid_query_color_sem(state, lm, self.mc, geo_params, color_params,
+            c, sm = _grid_query_color_sem(lm, self.mc, geo_params, color_params,
                                           sem_params, sdf_scale, self.offsets,
-                                          travel_dist, cur_ts, jnp.asarray(chunk))
+                                          jnp.asarray(chunk))
             if colors is not None and c is not None:
                 cc = np.asarray(c[: e - s])
                 colors[s:e] = cc if cc.shape[1] == 3 else np.repeat(cc, 3, axis=1)
@@ -181,7 +176,7 @@ class Mesher:
         return colors, sems
 
     # ------------------------------------------------------------------
-    def sdf_slice(self, state, lm, geo_params, sdf_scale, travel_dist, cur_ts,
+    def sdf_slice(self, lm, geo_params, sdf_scale,
                   center: np.ndarray, extent: float, height: float,
                   res: Optional[float] = None):
         """Horizontal SDF slice point cloud for visualization
@@ -191,8 +186,7 @@ class Mesher:
         ys = np.arange(center[1] - extent, center[1] + extent, res)
         gx, gy = np.meshgrid(xs, ys, indexing="ij")
         pts = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, height)], axis=-1).astype(np.float32)
-        sdf, nn = self.query_sdf_grid(state, lm, geo_params, sdf_scale, travel_dist,
-                                      cur_ts, pts)
+        sdf, nn = self.query_sdf_grid(lm, geo_params, sdf_scale, pts)
         ok = nn >= 1
         return pts[ok], sdf[ok]
 

@@ -113,9 +113,8 @@ class SlamSystem:
                                     travel,
                                     downsample_table_size=cfg.downsample_hash_size)
             lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
-            new_mask = mp.compute_new_sample_mask(lm, state, mc, mcfg, coord_world,
-                                                  batch.sdf_label, batch.valid,
-                                                  travel, frame_id)
+            new_mask = mp.compute_new_sample_mask(lm, mc, mcfg, coord_world,
+                                                  batch.sdf_label, batch.valid)
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
                                   batch.sdf_label, batch.weight, batch.valid,
                                   frame_id, new_mask, batch.sem_label,
@@ -157,9 +156,9 @@ class SlamSystem:
 
             source, src_valid = self._source_prep(points, valid)
             res = trk.track_frame(
-                self.state, self.lm, self.mc, self.tc, self.geo_params, self.sdf_scale,
-                self.offsets, self._travel, jnp.int32(self.frame_id),
-                source, src_valid, jnp.asarray(R_init), jnp.asarray(t_init))
+                self.lm, self.mc, self.tc, self.geo_params, self.sdf_scale,
+                self.offsets, source, src_valid,
+                jnp.asarray(R_init), jnp.asarray(t_init))
             valid_flag = bool(res.valid)
             if valid_flag:
                 T = np.eye(4)
@@ -228,9 +227,8 @@ class SlamSystem:
         while remaining > 0:
             step = min(remaining, cfg.iters)
             lm, params, opt_state, loss_hist = mp.mapping_loop(
-                lm, self.state, self.mc, params, opt_state, self.pool, self.mcfg,
-                self.offsets, self._travel, jnp.int32(self.frame_id),
-                jax.random.fold_in(k_train, remaining), dec_scale,
+                lm, self.mc, params, opt_state, self.pool, self.mcfg,
+                self.offsets, jax.random.fold_in(k_train, remaining), dec_scale,
                 use_new, jnp.asarray(self.after_pgo), num_iters=int(cfg.iters))
             if loss_first is None:
                 loss_first = float(loss_hist[0])

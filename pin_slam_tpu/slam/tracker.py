@@ -98,9 +98,9 @@ def _gm_weight(k: float, r: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("mc", "tc"))
-def track_frame(state: npts.MapState, lm: npts.LocalMap, mc: npts.MapConfig,
+def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
                 tc: TrackerConfig, geo_params: dec.DecoderParams, sdf_scale: float,
-                offsets: jax.Array, travel_dist: jax.Array, cur_ts: jax.Array,
+                offsets: jax.Array,
                 source: jax.Array, source_valid: jax.Array,
                 R_init: jax.Array, t_init: jax.Array,
                 source_sdf: Optional[jax.Array] = None,
@@ -122,7 +122,7 @@ def track_frame(state: npts.MapState, lm: npts.LocalMap, mc: npts.MapConfig,
     origin = lm.origin
 
     def sdf_fn(pts_world):
-        knn = npts.knn_search(state, lm, mc, pts_world, offsets, travel_dist, cur_ts)
+        knn = npts.knn_search(lm, mc, pts_world, offsets)
         geo_feat, _, w, _ = npts.interpolate_features(lm, mc, pts_world, knn.lidx)
         sdf_pred, sdf_std = dec.blended_sdf(geo_params, geo_feat, w,
                                             mc.weighted_first, sdf_scale)
@@ -224,14 +224,13 @@ def track_frame(state: npts.MapState, lm: npts.LocalMap, mc: npts.MapConfig,
 
 
 @partial(jax.jit, static_argnames=("mc", "tc"))
-def query_source_points(state: npts.MapState, lm: npts.LocalMap, mc: npts.MapConfig,
+def query_source_points(lm: npts.LocalMap, mc: npts.MapConfig,
                         tc: TrackerConfig, geo_params: dec.DecoderParams, sdf_scale: float,
-                        offsets: jax.Array, travel_dist: jax.Array, cur_ts: jax.Array,
-                        pts_world: jax.Array):
+                        offsets: jax.Array, pts_world: jax.Array):
     """Standalone SDF + gradient + mask query (ref utils/tracker.py:176-275) —
     used by the dynamic filter, mesher and diagnostics."""
     def f(p):
-        knn = npts.knn_search(state, lm, mc, p, offsets, travel_dist, cur_ts)
+        knn = npts.knn_search(lm, mc, p, offsets)
         geo_feat, _, w, cert = npts.interpolate_features(lm, mc, p, knn.lidx)
         sdf_pred, _ = dec.blended_sdf(geo_params, geo_feat, w, mc.weighted_first,
                                       sdf_scale)

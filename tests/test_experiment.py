@@ -48,9 +48,9 @@ def test_implicit_map_roundtrip(tmp_path, rng):
     # rebuilt hash answers queries like the original
     offsets = jnp.asarray(npts.neighbor_offsets(2, 0.2))
     q = np.asarray(state.positions[:16])
-    r1 = npts.knn_search(state, lm, mc, jnp.asarray(q), offsets, travel, jnp.int32(0))
+    r1 = npts.knn_search(lm, mc, jnp.asarray(q), offsets)
     lm2 = npts.build_local_map(state2, mc, jnp.zeros(3), jnp.int32(0), travel)
-    r2 = npts.knn_search(state2, lm2, mc, jnp.asarray(q), offsets, travel, jnp.int32(0))
+    r2 = npts.knn_search(lm2, mc, jnp.asarray(q), offsets)
     np.testing.assert_array_equal(np.asarray(r1.nn_count), np.asarray(r2.nn_count))
 
     # SDF parity through the loaded decoder

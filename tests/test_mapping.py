@@ -59,15 +59,15 @@ def build_and_train(rng, n_rays=4096, iters=300, bs=4096):
     opt_state = mp.make_optimizer(mcfg).init(params)
 
     lm, params, opt_state, losses = mp.mapping_loop(
-        lm, state, mc, params, opt_state, pool, mcfg, offsets, travel,
-        jnp.int32(0), jax.random.PRNGKey(2), jnp.float32(1.0),
+        lm, mc, params, opt_state, pool, mcfg, offsets,
+        jax.random.PRNGKey(2), jnp.float32(1.0),
         jnp.zeros((), bool), jnp.zeros((), bool), num_iters=iters)
     lm = lm._replace(geo_features=params.features)
     return mc, mcfg, state, lm, params, offsets, travel, np.asarray(losses)
 
 
 def query_sdf(mc, state, lm, params, offsets, travel, q):
-    knn = npts.knn_search(state, lm, mc, jnp.asarray(q), offsets, travel, jnp.int32(0))
+    knn = npts.knn_search(lm, mc, jnp.asarray(q), offsets)
     feat, _, _, _ = npts.interpolate_features(lm, mc, jnp.asarray(q), knn.lidx)
     return np.asarray(dec.sdf(params.geo, feat, 0.055)), np.asarray(knn.nn_count)
 

@@ -133,8 +133,7 @@ def test_query_matches_bruteforce(rng):
 
     offsets = npts.neighbor_offsets(2, 0.2)
     q = rng.uniform(-3.5, 3.5, size=(64, 3)).astype(np.float32)
-    res = npts.knn_search(state, lm, mc, jnp.asarray(q), jnp.asarray(offsets), travel,
-                          jnp.int32(0), time_filtering=False)
+    res = npts.knn_search(lm, mc, jnp.asarray(q), jnp.asarray(offsets))
     geo, _, w, _ = npts.interpolate_features(lm, mc, jnp.asarray(q), res.lidx)
 
     map_pts = np.asarray(state.positions[:count])
@@ -154,14 +153,14 @@ def test_query_weights_normalized(rng):
     state, lm, travel = make_map(mc, pts)
     offsets = npts.neighbor_offsets(2, 0.2)
     q = rng.uniform(-2, 2, size=(32, 3)).astype(np.float32)
-    res = npts.knn_search(state, lm, mc, jnp.asarray(q), jnp.asarray(offsets), travel, jnp.int32(0))
+    res = npts.knn_search(lm, mc, jnp.asarray(q), jnp.asarray(offsets))
     _, _, w, _ = npts.interpolate_features(lm, mc, jnp.asarray(q), res.lidx)
     w = np.asarray(w)
     has_nbr = np.asarray(res.nn_count) > 0
     np.testing.assert_allclose(w[has_nbr].sum(1), 1.0, atol=1e-5)
     # far-away query: zero weights
     qfar = jnp.asarray([[500.0, 500.0, 500.0]])
-    resf = npts.knn_search(state, lm, mc, qfar, jnp.asarray(offsets), travel, jnp.int32(0))
+    resf = npts.knn_search(lm, mc, qfar, jnp.asarray(offsets))
     assert int(resf.nn_count[0]) == 0
 
 
@@ -171,7 +170,7 @@ def test_certainty_accumulation(rng):
     state, lm, travel = make_map(mc, pts)
     offsets = npts.neighbor_offsets(2, 0.2)
     q = np.asarray(state.positions[:32]) + 0.01  # query right at stored points
-    res = npts.knn_search(state, lm, mc, jnp.asarray(q), jnp.asarray(offsets), travel, jnp.int32(0))
+    res = npts.knn_search(lm, mc, jnp.asarray(q), jnp.asarray(offsets))
     _, _, w, _ = npts.interpolate_features(lm, mc, jnp.asarray(q), res.lidx)
     lm2 = npts.accumulate_certainty(lm, mc, res.lidx, w, query_ts=jnp.full((32,), 3, jnp.int32))
     total = float(jnp.sum(lm2.certainties))
@@ -233,8 +232,8 @@ def test_recreate_hash_query_still_works(rng):
     state2 = npts.recreate_hash(state, mc, jnp.int32(0), downsample_table_size=1 << 16)
     offsets = npts.neighbor_offsets(2, 0.2)
     q = np.asarray(state.positions[:16])
-    r1 = npts.knn_search(state, lm, mc, jnp.asarray(q), jnp.asarray(offsets), travel, jnp.int32(0))
-    r2 = npts.knn_search(state2, lm, mc, jnp.asarray(q), jnp.asarray(offsets), travel, jnp.int32(0))
+    r1 = npts.knn_search(lm, mc, jnp.asarray(q), jnp.asarray(offsets))
+    r2 = npts.knn_search(lm, mc, jnp.asarray(q), jnp.asarray(offsets))
     np.testing.assert_array_equal(np.asarray(r1.nn_count), np.asarray(r2.nn_count))
 
 
@@ -244,5 +243,5 @@ def test_query_certainty(rng):
     state, lm, travel = make_map(mc, pts)
     lm = lm._replace(certainties=lm.certainties.at[: int(lm.count)].set(7.0))
     q = np.asarray(state.positions[:8])
-    cert = npts.query_certainty(state, lm, mc, jnp.asarray(q), travel, jnp.int32(0))
+    cert = npts.query_certainty(lm, mc, jnp.asarray(q))
     np.testing.assert_allclose(np.asarray(cert), 7.0, atol=1e-6)

@@ -37,7 +37,7 @@ def test_tracker_recovers_perturbation(trained_map):
     source = (rot_gt.as_matrix().T @ (world_pts - t_gt).T).T.astype(np.float32)
 
     res = trk.track_frame(
-        state, lm, mc, tc, params.geo, 0.055, offsets, travel, jnp.int32(0),
+        lm, mc, tc, params.geo, 0.055, offsets,
         jnp.asarray(source), jnp.ones(2048, dtype=bool),
         jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
 
@@ -60,7 +60,7 @@ def test_tracker_identity_stays_put(trained_map):
     tc = trk.TrackerConfig(reg_iter_n=20)
     source = ray_box_endpoints(rng, 1024)
     res = trk.track_frame(
-        state, lm, mc, tc, params.geo, 0.055, offsets, travel, jnp.int32(0),
+        lm, mc, tc, params.geo, 0.055, offsets,
         jnp.asarray(source), jnp.ones(1024, dtype=bool),
         jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
     assert bool(res.valid)
@@ -76,7 +76,7 @@ def test_tracker_fails_gracefully_far_from_map(trained_map):
     tc = trk.TrackerConfig(reg_iter_n=10)
     source = ray_box_endpoints(rng, 512) + np.float32([200.0, 0, 0])
     res = trk.track_frame(
-        state, lm, mc, tc, params.geo, 0.055, offsets, travel, jnp.int32(0),
+        lm, mc, tc, params.geo, 0.055, offsets,
         jnp.asarray(source), jnp.ones(512, dtype=bool),
         jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
     assert not bool(res.valid)
