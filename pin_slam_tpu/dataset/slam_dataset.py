@@ -156,6 +156,11 @@ class SLAMDataset:
         """Pose bookkeeping: travel distance, stop + lose-track detection
         (ref slam_dataset.py:376-430)."""
         cfg = self.config
+        # defensive SO(3) projection: device f32 rotations carry ~1e-7..1e-3
+        # scale error which compounds through the frame-to-frame pose chain
+        U, _, Vt = np.linalg.svd(cur_pose[:3, :3])
+        cur_pose = cur_pose.copy()
+        cur_pose[:3, :3] = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt
         if not valid:
             self.lose_track = True
             self.consecutive_lose_track_frame += 1

@@ -181,8 +181,8 @@ class NeuralPointMapContextManager:
 def detect_local_loop(pgo_poses: np.ndarray, travel_dist: List[float], cur_frame: int,
                       drift_radius: float, min_travel_ratio: float,
                       local_map_radius: float, max_loop_dist: float,
-                      loop_candidate_mask: Optional[np.ndarray] = None
-                      ) -> Tuple[int, float]:
+                      loop_candidate_mask: Optional[np.ndarray] = None,
+                      dist_floor: float = 1.0) -> Tuple[int, float]:
     """Nearest past pose within the drift radius (ref utils/loop_detector.py:309-319).
 
     Returns (loop_frame_id, distance) or (-1, inf).
@@ -200,7 +200,7 @@ def detect_local_loop(pgo_poses: np.ndarray, travel_dist: List[float], cur_frame
         d = float(np.linalg.norm(pgo_poses[fid][:3, 3] - cur_xyz))
         if d < best_d:
             best, best_d = fid, d
-    thresh = max(drift_radius, 1.0)
+    thresh = max(drift_radius, dist_floor)
     if best_d < min(thresh, max_loop_dist):
         return best, best_d
     return -1, np.inf

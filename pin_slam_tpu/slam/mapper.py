@@ -181,6 +181,7 @@ def pool_filter(pool: PoolState, mcfg: MapperConfig, origin: jax.Array) -> PoolS
     )
 
 
+@jax.jit
 def pool_retransform(pool: PoolState, poses: jax.Array) -> PoolState:
     """Re-derive world coords of the whole pool from (updated) per-frame poses —
     used after PGO / BA (ref utils/mapper.py:381-383 ``transform_data_pool``)."""
@@ -346,6 +347,73 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
     keys = jax.random.split(key, num_iters)
     (lm, params, opt_state), loss_hist = jax.lax.scan(one_iter, (lm, params, opt_state), keys)
     return lm, params, opt_state, loss_hist
+
+
+@partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters", "window", "lr_pose_ratio"))
+def bundle_adjustment_loop(lm: npts.LocalMap, mc: npts.MapConfig,
+                           params: TrainableParams, pool: PoolState,
+                           mcfg: MapperConfig, offsets: jax.Array,
+                           poses_full: jax.Array, window_start: jax.Array,
+                           pose_xi: jax.Array, key: jax.Array,
+                           num_iters: int, window: int,
+                           lr_pose_ratio: float = 0.1):
+    """Sliding-window bundle adjustment: jointly optimize the last ``window``
+    poses (se3) and the local map features on surface samples
+    (ref utils/mapper.py:596-668 ``bundle_adjustment``).
+
+    poses_full: (T,4,4) f32 current per-frame poses (fixed outside the window).
+    pose_xi: (window, 6) se3 corrections, LEFT-composed with the current poses.
+    Loss = mean(sdf(T(ts) @ local_coord)^2) over surface samples (ref :652).
+    Returns (params, pose_xi, loss_history).
+    """
+    from pin_slam_tpu.ops.transforms import se3_expmap
+
+    opt = make_optimizer(mcfg)
+    surface = jnp.abs(pool.sdf_label) < 1e-6      # exact-endpoint samples
+
+    def one_iter(carry, it_key):
+        params_c, xi_c, opt_state_c, opt_state_pose = carry
+        idx = jax.random.randint(it_key, (mcfg.bs,), 0, jnp.maximum(pool.fill, 1))
+        valid = (idx < pool.fill) & surface[idx]
+        local = pool.local_coord[idx]
+        ts = pool.ts[idx]
+
+        def loss_fn(p, xi):
+            T_base = poses_full[ts]                               # (B,4,4)
+            in_win = ts >= window_start
+            widx = jnp.clip(ts - window_start, 0, window - 1)
+            dT = se3_expmap(xi)[widx]                             # (B,4,4)
+            eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), dT.shape)
+            dT = jnp.where(in_win[:, None, None], dT, eye)
+            T = jnp.einsum("nij,njk->nik", dT, T_base)
+            coord = jnp.einsum("nij,nj->ni", T[:, :3, :3], local) + T[:, :3, 3]
+            sdf_pred, knn, w, _ = _query_sdf(lm, mc, mcfg, offsets, coord,
+                                             p, jnp.ones((), bool))
+            per = jnp.where(valid, sdf_pred**2, 0.0)
+            return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1)
+
+        loss, (g_p, g_xi) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params_c, xi_c)
+        # decoders stay frozen during BA (ref utils/mapper.py:602-607: only
+        # neural point features + poses are optimized)
+        g_p = g_p._replace(geo=jax.tree.map(jnp.zeros_like, g_p.geo),
+                           sem=jax.tree.map(jnp.zeros_like, g_p.sem)
+                           if g_p.sem is not None else None,
+                           color=jax.tree.map(jnp.zeros_like, g_p.color)
+                           if g_p.color is not None else None)
+        updates, opt_state_c = opt.update(g_p, opt_state_c, params_c)
+        params_c = optax.apply_updates(params_c, updates)
+        params_c = params_c._replace(
+            features=params_c.features.at[mc.local_capacity].set(0.0))
+        up_xi, opt_state_pose = opt.update(g_xi, opt_state_pose, xi_c)
+        xi_c = xi_c + lr_pose_ratio * up_xi
+        return (params_c, xi_c, opt_state_c, opt_state_pose), loss
+
+    opt_state = opt.init(params)
+    opt_state_pose = opt.init(pose_xi)
+    keys = jax.random.split(key, num_iters)
+    (params, pose_xi, _, _), loss_hist = jax.lax.scan(
+        one_iter, (params, pose_xi, opt_state, opt_state_pose), keys)
+    return params, pose_xi, loss_hist
 
 
 @partial(jax.jit, static_argnames=("mc", "mcfg"))

@@ -33,8 +33,11 @@ from pin_slam_tpu.dataset.slam_dataset import SLAMDataset, Frame
 from pin_slam_tpu.models import decoder as dec
 from pin_slam_tpu.models import neural_points as npts
 from pin_slam_tpu.ops.sampler import SamplerConfig, sample_rays
+from pin_slam_tpu.ops.transforms import np_se3_inverse
 from pin_slam_tpu.ops.voxel import voxel_down_sample_mask
+from pin_slam_tpu.slam import loop_detector as ld
 from pin_slam_tpu.slam import mapper as mp
+from pin_slam_tpu.slam import pgo as pgo_mod
 from pin_slam_tpu.slam import tracker as trk
 
 TS_CAPACITY = 1 << 16  # max frames per run (travel-dist array length)
@@ -79,6 +82,14 @@ class SlamSystem:
         self.lm_origin64 = np.zeros(3)
         self.frame_id = 0
         self.stage_times = []          # [preprocess, odometry, map-prep+train, pgo]
+
+        # ---------------- back-end: loop closure + pose graph ----------------
+        self.pgm = pgo_mod.PoseGraphManager(config) if config.pgo_on else None
+        self.loop_mgr = (ld.NeuralPointMapContextManager(ld.LoopConfig.from_config(config))
+                         if config.pgo_on and config.global_loop_on else None)
+        self.tc_loop = trk.TrackerConfig.from_config(config, loop_reg=True)
+        self.loop_reg_failed_count = 0
+        self.last_source = None        # kept for loop verification
 
         # travel-dist device buffer, updated incrementally (one tiny transfer/frame)
         self._travel = jnp.zeros((TS_CAPACITY,), jnp.float32)
@@ -155,6 +166,7 @@ class SlamSystem:
             t_init = (init_pose[:3, 3] - origin64).astype(np.float32)
 
             source, src_valid = self._source_prep(points, valid)
+            self.last_source = (source, src_valid)
             res = trk.track_frame(
                 self.lm, self.mc, self.tc, self.geo_params, self.sdf_scale,
                 self.offsets, source, src_valid,
@@ -178,6 +190,12 @@ class SlamSystem:
             self.dataset.update_odom_pose(self.cur_pose, True)
             self.last_reg_cov = None
         self._update_travel()
+
+        # ---------------- III: loop closure + PGO (ref pin_slam.py:139-226) ----
+        if self.pgm is not None and not self.dataset.lose_track:
+            t_pgo0 = time.perf_counter()
+            self._loop_closure_stage(info)
+            info["pgo_s"] = time.perf_counter() - t_pgo0
 
         # lost frames never touch the map or the pool (ref pin_slam.py:234-239)
         if self.dataset.lose_track:
@@ -203,6 +221,11 @@ class SlamSystem:
 
         if (self.frame_id + 1) % cfg.pool_filter_freq == 0:
             self.pool = mp.pool_filter(self.pool, self.mcfg, pose_t)
+
+        # ---------------- IV-b': sliding-window bundle adjustment ------------
+        if (cfg.ba_freq_frame > 0 and self.frame_id > cfg.ba_frame // 2
+                and (self.frame_id + 1) % cfg.ba_freq_frame == 0):
+            self._bundle_adjustment()
 
         # ---------------- IV-b: mapping (training) ----------------
         t3 = time.perf_counter()
@@ -249,6 +272,156 @@ class SlamSystem:
         return info
 
     # ------------------------------------------------------------------
+    def _bundle_adjustment(self) -> None:
+        """Jointly refine the last ``ba_frame`` poses + local features on
+        surface samples, then re-transform the pool
+        (ref utils/mapper.py:596-668 + ba_done_flag handling :217-220)."""
+        cfg = self.config
+        fid = self.frame_id
+        poses_list = self.dataset.pgo_poses if cfg.pgo_on else self.dataset.odom_poses
+        n_poses = len(poses_list)
+        window = min(cfg.ba_frame, n_poses - 1)  # frame 0 stays fixed
+        if window < 2:
+            return
+        window_start = n_poses - window
+
+        poses_full = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
+        poses_full[:n_poses] = np.stack(poses_list).astype(np.float32)
+
+        params = mp.TrainableParams(
+            features=self.lm.geo_features, color_features=self.lm.color_features,
+            geo=self.geo_params, sem=self.sem_params, color=self.color_params)
+        xi0 = jnp.zeros((window, 6), jnp.float32)
+        self.key, k_ba = jax.random.split(self.key)
+        params, xi, _ = mp.bundle_adjustment_loop(
+            self.lm, self.mc, params, self.pool, self.mcfg, self.offsets,
+            jnp.asarray(poses_full), jnp.int32(window_start), xi0, k_ba,
+            num_iters=min(cfg.iters, 10), window=window)
+
+        self.lm = self.lm._replace(geo_features=params.features,
+                                   color_features=params.color_features)
+        self.state = npts.assign_local_to_global(self.state, self.lm, self.mc)
+
+        from pin_slam_tpu.ops.transforms import se3_expmap
+        dT = np.asarray(se3_expmap(xi), dtype=np.float64)
+        for i in range(window):
+            poses_list[window_start + i] = dT[i] @ poses_list[window_start + i]
+        self.cur_pose = poses_list[fid].copy()
+        self.dataset.last_pose = self.cur_pose.copy()
+
+        # the pool's world coords are now stale -> re-derive from poses
+        # (ref utils/mapper.py:381-383)
+        poses_new = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
+        poses_new[:n_poses] = np.stack(poses_list).astype(np.float32)
+        self.pool = mp.pool_retransform(self.pool, jnp.asarray(poses_new))
+
+    # ------------------------------------------------------------------
+    def _loop_closure_stage(self, info: dict) -> None:
+        """Stage III (ref pin_slam.py:139-226): descriptor bookkeeping, loop
+        detection, verification registration, PGO, elastic map deformation."""
+        cfg = self.config
+        fid = self.frame_id
+        pgm = self.pgm
+        cur = self.dataset.pgo_poses[fid].copy()
+
+        pgm.add_frame_node(fid, cur)
+        if fid > 0:
+            rel = np_se3_inverse(self.dataset.pgo_poses[fid - 1]) @ cur
+            cov = self.last_reg_cov if cfg.use_reg_cov_mat else None
+            pgm.add_odometry_factor(fid, fid - 1, rel, cov)
+        drift = pgm.estimate_drift(self.dataset.travel_dist, fid)
+
+        # scan-context descriptor of the local neural point map in the sensor
+        # frame (ref pin_slam.py:143-151)
+        if self.loop_mgr is not None and fid > 0:
+            Rw, tw = cur[:3, :3], cur[:3, 3]
+            pos = np.asarray(self.lm.positions).astype(np.float64)
+            local_pts = ((pos - tw) @ Rw).astype(np.float32)
+            valid = np.arange(pos.shape[0]) < int(self.lm.count)
+            self.loop_mgr.add_node(fid, local_pts, valid)
+
+        if fid == 0 or fid % max(cfg.pgo_freq, 1) != 0 or self.last_source is None:
+            return
+
+        poses = np.stack(self.dataset.pgo_poses)
+        # local loop first (pose distance within drift radius), then global
+        # scan-context (ref pin_slam.py:176-178)
+        # repeated verification failures make local-loop acceptance stricter
+        # (ref utils/loop_detector.py:312, pin_slam.py:220-226); the penalty is
+        # soft and capped so one bad candidate can't lock out real loops forever
+        penalty = 1.0 + 0.3 * min(self.loop_reg_failed_count, 4)
+        loop_id, _dist = ld.detect_local_loop(
+            poses, self.dataset.travel_dist, fid, drift,
+            cfg.min_loop_travel_dist_ratio * penalty,
+            cfg.local_map_radius, cfg.max_loop_dist,
+            dist_floor=getattr(cfg, "local_loop_dist_floor", 1.0))
+        yaw = 0.0
+        if loop_id < 0 and self.loop_mgr is not None:
+            loop_id, cosdist, yaw = self.loop_mgr.detect_global_loop(
+                drift, self.dataset.travel_dist, fid)
+        if loop_id < 0:
+            return
+        info["loop_candidate"] = loop_id
+
+        # ---- verification: register the current scan against the map around
+        # the loop pose (ref pin_slam.py:187-188)
+        loop_pose = poses[loop_id]
+        cz, sz = np.cos(yaw), np.sin(yaw)
+        R_yaw = np.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+        guess = loop_pose.copy()
+        guess[:3, :3] = loop_pose[:3, :3] @ R_yaw
+
+        origin_loop = loop_pose[:3, 3].copy()
+        lm_loop = npts.build_local_map(
+            self.state, self.mc, jnp.asarray(origin_loop.astype(np.float32)),
+            jnp.int32(loop_id), self._travel)
+        source, src_valid = self.last_source
+        res = trk.track_frame(
+            lm_loop, self.mc, self.tc_loop, self.geo_params, self.sdf_scale,
+            self.offsets, source, src_valid,
+            jnp.asarray(guess[:3, :3].astype(np.float32)),
+            jnp.asarray((guess[:3, 3] - origin_loop).astype(np.float32)))
+
+        if not bool(res.valid):
+            self.loop_reg_failed_count += 1
+            info["loop_verified"] = False
+            return
+        info["loop_verified"] = True
+
+        T_cur_refined = np.eye(4)
+        T_cur_refined[:3, :3] = np.asarray(res.R, dtype=np.float64)
+        T_cur_refined[:3, 3] = np.asarray(res.t, dtype=np.float64) + origin_loop
+        rel_loop = np_se3_inverse(loop_pose) @ T_cur_refined
+        cov = np.asarray(res.cov, dtype=np.float64) if cfg.use_reg_cov_mat else None
+        pgm.add_loop_factor(fid, loop_id, rel_loop, cov)
+        pgm.last_loop_idx = fid
+
+        # ---- optimize + elastic map deformation (ref pin_slam.py:204-214)
+        old_poses = poses
+        new_poses = pgm.optimize_pose_graph()
+        pose_diff = pgm.get_pose_diff(old_poses)          # (fid+1, 4, 4)
+
+        diff_full = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
+        diff_full[: pose_diff.shape[0]] = pose_diff.astype(np.float32)
+        self.state = npts.adjust_map(self.state, self.mc, jnp.asarray(diff_full))
+        self.state = npts.recreate_hash(self.state, self.mc, jnp.int32(fid),
+                                        downsample_table_size=cfg.downsample_hash_size)
+
+        poses_full = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
+        poses_full[: new_poses.shape[0]] = new_poses.astype(np.float32)
+        self.pool = mp.pool_retransform(self.pool, jnp.asarray(poses_full))
+
+        self.dataset.update_poses_after_pgo(new_poses)
+        self.cur_pose = new_poses[fid].copy()
+        self.lm = npts.build_local_map(
+            self.state, self.mc, jnp.asarray(self.cur_pose[:3, 3].astype(np.float32)),
+            jnp.int32(fid), self._travel)
+        self.lm_origin64 = self.cur_pose[:3, 3].copy()
+        self.after_pgo = True
+        self.loop_reg_failed_count = 0
+        info["pgo_applied"] = True
+
+    # ------------------------------------------------------------------
     def run(self, num_frames: Optional[int] = None) -> dict:
         cfg = self.config
         n = len(self.dataset) if num_frames is None else min(num_frames, len(self.dataset))
@@ -261,4 +434,59 @@ class SlamSystem:
                 print(f"frame {i}: {info}", flush=True)
         run_path = cfg.run_path or os.path.join(cfg.output_root, cfg.name or "run")
         metrics = self.dataset.write_results(run_path)
+        self.save_artifacts(run_path)
         return metrics
+
+    def save_artifacts(self, run_path: str) -> None:
+        """End-of-run artifacts (ref pin_slam.py:352-371): implicit map,
+        neural-point cloud, optional mesh."""
+        cfg = self.config
+        os.makedirs(os.path.join(run_path, "map"), exist_ok=True)
+        from pin_slam_tpu.dataset import io as pio
+        from pin_slam_tpu.utils.experiment import save_implicit_map
+
+        if cfg.save_map:
+            save_implicit_map(os.path.join(run_path, "map", "pin_map.npz"),
+                              self.state, self.geo_params, self.sem_params,
+                              self.color_params)
+        if cfg.save_merged_pc or cfg.save_map:
+            count = int(self.state.count)
+            pio.write_ply(os.path.join(run_path, "map", "neural_points.ply"),
+                          np.asarray(self.state.positions[:count]),
+                          extra={"certainty": np.asarray(self.state.certainties[:count])})
+        if cfg.save_mesh:
+            from pin_slam_tpu.slam.mesher import Mesher, MesherConfig, split_chunks
+
+            count = int(self.state.count)
+            pts = np.asarray(self.state.positions[:count])
+            if count > 0:
+                # mesh from a whole-map view: relax the locality windows so the
+                # "local" map covers every neural point (global query mode,
+                # ref vis_pin_map.py:70)
+                import dataclasses as _dc
+
+                mc_all = _dc.replace(self.mc, local_map_radius=1e6,
+                                     travel_dist_window=1e9)
+                if count > mc_all.local_capacity and not cfg.silence:
+                    print(f"[pipeline] save_mesh: map has {count} points but "
+                          f"local capacity is {mc_all.local_capacity}; mesh "
+                          "covers the first part only")
+                lm_all = npts.build_local_map(
+                    self.state, mc_all,
+                    jnp.asarray(pts.mean(0).astype(np.float32)),
+                    jnp.int32(self.frame_id), self._travel)
+                mesher = Mesher(MesherConfig(
+                    mc_res_m=cfg.mc_res_m, mesh_min_nn=cfg.mesh_min_nn,
+                    min_cluster_vertices=cfg.min_cluster_vertices,
+                    query_bucket=cfg.mesh_query_bucket), mc_all, self.offsets)
+                chunks = split_chunks(pts, chunk_m=60.0, pad=1.0)
+                verts, faces, colors, sems = mesher.recon_aabb_collections_mesh(
+                    lm_all, self.geo_params, self.sdf_scale, chunks,
+                    color_params=self.color_params, sem_params=self.sem_params)
+                if len(verts):
+                    from pin_slam_tpu.ops.marching_cubes import vertex_normals
+
+                    os.makedirs(os.path.join(run_path, "mesh"), exist_ok=True)
+                    pio.write_ply(os.path.join(run_path, "mesh", "mesh.ply"),
+                                  verts, colors=colors,
+                                  normals=vertex_normals(verts, faces), faces=faces)

@@ -179,10 +179,20 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         R, t, i, converged, valid, last_res = carry
         N, g, res_cm, valid_count = one_step(R, t)
         xi = solve(N, g)
+        # trust region: an ill-conditioned normal-equation solve can return an
+        # enormous step, and Rodrigues at huge f32 angles loses orthonormality
+        w_norm = jnp.linalg.norm(xi[:3])
+        v_norm = jnp.linalg.norm(xi[3:])
+        scale = jnp.minimum(1.0, jnp.minimum(0.5 / jnp.maximum(w_norm, 1e-12),
+                                             2.0 / jnp.maximum(v_norm, 1e-12)))
+        xi = xi * scale
         dR = so3_expmap(xi[:3])
         dt = xi[3:]
         R_new = dR @ R
         t_new = dR @ t + dt                          # delta acts on the left: p' = dR p + dt
+        # keep R on SO(3): f32 product drift compounds over reg_iter_n iters
+        from pin_slam_tpu.ops.transforms import quat_to_rotmat, rotmat_to_quat
+        R_new = quat_to_rotmat(rotmat_to_quat(R_new))
 
         # health gates (ref utils/tracker.py:115-135)
         grew = (res_cm - last_res) / jnp.maximum(last_res, 1e-9) > tc.max_increment_ratio
@@ -202,6 +212,12 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
             jnp.zeros((), jnp.int32), jnp.zeros((), bool), jnp.ones((), bool),
             jnp.full((), 1e5, jnp.float32))
     R, t, i, converged, valid, last_res = jax.lax.while_loop(cond, body, init)
+
+    # re-orthonormalize: f32 drift through up to reg_iter_n matrix products
+    # leaves det(R) != 1; if the caller chains poses frame-to-frame the scale
+    # error COMPOUNDS multiplicatively (observed det 1.01 -> 8.2 over 7 frames)
+    from pin_slam_tpu.ops.transforms import quat_to_rotmat, rotmat_to_quat
+    R = quat_to_rotmat(rotmat_to_quat(R))
 
     # final statistics at the converged pose (ref utils/tracker.py:137-167)
     N, g, res_cm, valid_count = one_step(R, t)
