@@ -102,13 +102,14 @@ class SlamSystem:
         offsets = self.offsets
 
         @jax.jit
-        def source_prep(points, valid):
+        def source_prep(points, valid, colors):
             """Coarse voxel downsample of the registration source cloud
             (ref utils/config.py:source_vox_down_m), gathered to a fixed bucket."""
             keep = voxel_down_sample_mask(points, valid, cfg.source_vox_down_m,
                                           cfg.downsample_hash_size)
             idx = jnp.nonzero(keep, size=cfg.source_bucket, fill_value=0)[0]
-            return points[idx], keep[idx]
+            col = colors[idx] if colors is not None else None
+            return points[idx], keep[idx], col
 
         @jax.jit
         def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
@@ -165,12 +166,16 @@ class SlamSystem:
             R_init = init_pose[:3, :3].astype(np.float32)
             t_init = (init_pose[:3, 3] - origin64).astype(np.float32)
 
-            source, src_valid = self._source_prep(points, valid)
+            frame_colors = (jnp.asarray(frame.colors)
+                            if frame.colors is not None and cfg.color_on else None)
+            source, src_valid, src_colors = self._source_prep(points, valid, frame_colors)
             self.last_source = (source, src_valid)
             res = trk.track_frame(
                 self.lm, self.mc, self.tc, self.geo_params, self.sdf_scale,
                 self.offsets, source, src_valid,
-                jnp.asarray(R_init), jnp.asarray(t_init))
+                jnp.asarray(R_init), jnp.asarray(t_init),
+                color_params=self.color_params if cfg.color_on else None,
+                source_colors=src_colors)
             valid_flag = bool(res.valid)
             if valid_flag:
                 T = np.eye(4)

@@ -97,6 +97,15 @@ def _gm_weight(k: float, r: jax.Array) -> jax.Array:
     return (k / (k * k + r * r)) ** 2
 
 
+def color_to_intensity(colors: jax.Array) -> jax.Array:
+    """RGB [.,3] -> intensity, or pass single-channel through
+    (ref utils/tools.py:296-300)."""
+    if colors.ndim >= 1 and colors.shape[-1] == 3:
+        return (0.144 * colors[..., 0] + 0.299 * colors[..., 1]
+                + 0.587 * colors[..., 2])
+    return colors[..., 0] if colors.ndim > 1 else colors
+
+
 @partial(jax.jit, static_argnames=("mc", "tc"))
 def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
                 tc: TrackerConfig, geo_params: dec.DecoderParams, sdf_scale: float,
@@ -121,12 +130,24 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         source_sdf = jnp.zeros((n_src,), source.dtype)
     origin = lm.origin
 
+    color_on = (color_params is not None and source_colors is not None
+                and lm.color_features is not None)
+    if color_on:
+        src_intensity = color_to_intensity(source_colors)
+
     def sdf_fn(pts_world):
         knn = npts.knn_search(lm, mc, pts_world, offsets)
-        geo_feat, _, w, _ = npts.interpolate_features(lm, mc, pts_world, knn.lidx)
+        geo_feat, color_feat, w, _ = npts.interpolate_features(
+            lm, mc, pts_world, knn.lidx, query_color=color_on)
         sdf_pred, sdf_std = dec.blended_sdf(geo_params, geo_feat, w,
                                             mc.weighted_first, sdf_scale)
-        return sdf_pred, (knn.nn_count, jax.lax.stop_gradient(sdf_std))
+        if color_on:
+            col = dec.blended_head(dec.regress_color, color_params, color_feat,
+                                   w, mc.weighted_first)
+            intensity = color_to_intensity(col)
+        else:
+            intensity = jnp.zeros_like(sdf_pred)
+        return (sdf_pred, intensity), (knn.nn_count, jax.lax.stop_gradient(sdf_std))
 
     max_sdf_std = tc.surface_sample_range * tc.max_sdf_std_ratio
 
@@ -134,8 +155,9 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         cur = source @ R.T + t                       # shifted frame
         pts_world = cur + origin
 
-        sdf_pred, vjp_fn, (nn_count, sdf_std) = jax.vjp(sdf_fn, pts_world, has_aux=True)
-        grad = vjp_fn(jnp.ones_like(sdf_pred))[0]    # per-point d sdf / d p
+        (sdf_pred, intensity), vjp_fn, (nn_count, sdf_std) = jax.vjp(
+            sdf_fn, pts_world, has_aux=True)
+        grad = vjp_fn((jnp.ones_like(sdf_pred), jnp.zeros_like(intensity)))[0]
 
         grad_norm = jnp.linalg.norm(grad, axis=-1)
         mask = (source_valid
@@ -147,6 +169,9 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         residual = sdf_pred - source_sdf
         grad_anomaly = grad_norm - 1.0
         w = _gm_weight(tc.GM_dist, residual) * _gm_weight(tc.GM_grad, grad_anomaly)
+        if color_on and not tc.photometric_on and tc.consist_weight_on:
+            # color (intensity) consistency weight (ref utils/tracker.py:382-386)
+            w = w * jnp.exp(-jnp.abs(intensity - src_intensity))
         w = jnp.where(mask, w, 0.0)
         valid_count = jnp.sum(mask, dtype=jnp.int32)
         # normalize weights by 2*mean over valid (ref utils/tracker.py:394)
@@ -159,6 +184,16 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         Jw = J * w[:, None]
         N = J.T @ Jw                                  # (6,6)
         g = -(Jw.T @ residual)
+
+        if color_on and tc.photometric_on:
+            # photometric term in the normal equations
+            # (ref utils/tracker.py:523-554 ``implicit_color_reg``)
+            c_grad = vjp_fn((jnp.zeros_like(sdf_pred), jnp.ones_like(intensity)))[0]
+            c_resid = intensity - src_intensity
+            J_c = jnp.concatenate([jnp.cross(cur, c_grad), c_grad], axis=-1)
+            Jw_c = J_c * w[:, None]
+            N = N + tc.photometric_weight * (J_c.T @ Jw_c)
+            g = g - tc.photometric_weight * (Jw_c.T @ c_resid)
 
         res_cm = jnp.sum(jnp.where(mask, jnp.abs(residual), 0.0)) / jnp.maximum(valid_count, 1) * 100.0
         return N, g, res_cm, valid_count
