@@ -30,7 +30,14 @@ def sample_mesh_surface(verts: np.ndarray, faces: np.ndarray, n: int,
 
 def nn_distances(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Per-point nearest-neighbor distance src -> dst
-    (ref eval/eval_mesh_utils.py:94-125 ``nn_correspondance``)."""
+    (ref eval/eval_mesh_utils.py:94-125 ``nn_correspondance``).
+    Uses the C++ k-d tree when the native extension is built."""
+    import os
+
+    from pin_slam_tpu.utils import native
+
+    if os.environ.get("PIN_NATIVE", "1") != "0" and native.available() and len(dst):
+        return native.nn_distances(np.asarray(src), np.asarray(dst)).astype(np.float64)
     tree = cKDTree(dst)
     d, _ = tree.query(src, k=1)
     return d

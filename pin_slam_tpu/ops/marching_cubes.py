@@ -27,11 +27,22 @@ _TETS = np.array(
 
 def marching_tetrahedra(sdf: np.ndarray, mask: Optional[np.ndarray] = None,
                         origin=(0.0, 0.0, 0.0), spacing: float = 1.0,
-                        iso: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+                        iso: float = 0.0, use_native: Optional[bool] = None
+                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the iso-surface of ``sdf`` [nx,ny,nz].
 
     Returns (vertices [V,3] float32 in world units, faces [F,3] int64).
+    Dispatches to the C++ extension (native/pin_native.cpp) when built — same
+    tetrahedral decomposition, ~an order of magnitude faster on large grids.
     """
+    import os
+
+    from pin_slam_tpu.utils import native
+
+    if use_native is None:
+        use_native = os.environ.get("PIN_NATIVE", "1") != "0" and native.available()
+    if use_native and min(sdf.shape) >= 2:
+        return native.marching_tetrahedra(sdf, mask, origin, spacing, iso)
     nx, ny, nz = sdf.shape
     if min(nx, ny, nz) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)

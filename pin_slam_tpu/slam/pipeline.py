@@ -81,7 +81,8 @@ class SlamSystem:
         self.cur_pose = np.eye(4)      # world <- sensor, f64 host
         self.lm_origin64 = np.zeros(3)
         self.frame_id = 0
-        self.stage_times = []          # [preprocess, odometry, map-prep+train, pgo]
+        self.stage_times = []          # [preprocess, odometry, map-prep, train, pgo]
+        self.memory_footprint_mb = []  # neural-point map MB per frame
 
         # ---------------- back-end: loop closure + pose graph ----------------
         self.pgm = pgo_mod.PoseGraphManager(config) if config.pgo_on else None
@@ -113,9 +114,21 @@ class SlamSystem:
 
         @jax.jit
         def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
-                         frame_id, travel, sem_labels, colors):
+                         frame_id, travel, sem_labels, colors, geo_params):
             """Stage IV-a fused: sample -> insert -> local map -> new flags ->
             pool append (ref utils/mapper.py:110-321 ``process_frame``)."""
+            if cfg.dynamic_filter_on:
+                # dynamic-object filter: drop measurements lying in confidently
+                # observed free space (ref utils/mapper.py:79-108)
+                pts_world = points @ pose_R.T + pose_t
+                knn = npts.knn_search(lm, mc, pts_world, offsets)
+                feat, _, w, cert = npts.interpolate_features(lm, mc, pts_world,
+                                                             knn.lidx)
+                sdf_pred, _ = dec.blended_sdf(geo_params, feat, w,
+                                              mc.weighted_first, cfg.sdf_scale)
+                static = ((cert < cfg.dynamic_certainty_thre)
+                          | (sdf_pred < cfg.dynamic_sdf_ratio_thre * cfg.voxel_size_m))
+                valid = valid & static
             batch = sample_rays(key, sc, points, valid, sem_labels, colors)
             coord_world = batch.coord @ pose_R.T + pose_t
             surf_mask = batch.valid & (
@@ -221,7 +234,7 @@ class SlamSystem:
 
         self.state, self.lm, self.pool = self._frame_update(
             self.state, self.lm, self.pool, k_sample, points, valid, pose_R, pose_t,
-            jnp.int32(self.frame_id), self._travel, sem, col)
+            jnp.int32(self.frame_id), self._travel, sem, col, self.geo_params)
         self.lm_origin64 = self.cur_pose[:3, 3].copy()
 
         if (self.frame_id + 1) % cfg.pool_filter_freq == 0:
@@ -271,8 +284,14 @@ class SlamSystem:
         info["loss_last"] = loss_last
 
         t4 = time.perf_counter()
-        self.stage_times.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3, 0.0])
+        self.stage_times.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3,
+                                 info.get("pgo_s", 0.0)])
         self.dataset.time_table.append(self.stage_times[-1])
+        # map memory footprint in MB (ref model/neural_points.py:113-123)
+        point_dim = self.config.feature_dim + 3 + 4
+        if self.config.color_on:
+            point_dim += self.config.feature_dim
+        self.memory_footprint_mb.append(int(self.state.count) * point_dim * 4 / 2**20)
         self.frame_id += 1
         return info
 
@@ -444,9 +463,38 @@ class SlamSystem:
 
     def save_artifacts(self, run_path: str) -> None:
         """End-of-run artifacts (ref pin_slam.py:352-371): implicit map,
-        neural-point cloud, optional mesh."""
+        neural-point cloud, optional mesh, timing + memory instrumentation."""
         cfg = self.config
         os.makedirs(os.path.join(run_path, "map"), exist_ok=True)
+
+        # instrumentation artifacts in the reference's formats
+        # (time_table.npy / memory_footprint.npy + stacked timing plot,
+        # ref utils/tools.py:237-238,637-691)
+        if self.memory_footprint_mb:
+            np.save(os.path.join(run_path, "memory_footprint.npy"),
+                    np.asarray(self.memory_footprint_mb))
+        if self.stage_times:
+            tt = np.asarray(self.stage_times)
+            np.save(os.path.join(run_path, "time_table.npy"), tt)
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                labels = ["preprocess", "odometry", "map update", "map optimization",
+                          "loop & pgo"]
+                fig, ax = plt.subplots(figsize=(8, 4))
+                ax.stackplot(np.arange(tt.shape[0]), (tt * 1e3).T, labels=labels)
+                ax.axhline(100.0, color="k", ls="--", lw=1, label="100 ms (10 Hz)")
+                ax.set_xlabel("frame")
+                ax.set_ylabel("time (ms)")
+                ax.legend(loc="upper left", fontsize=8)
+                fig.tight_layout()
+                fig.savefig(os.path.join(run_path, "time_details.png"), dpi=120)
+                plt.close(fig)
+            except Exception:
+                pass
         from pin_slam_tpu.dataset import io as pio
         from pin_slam_tpu.utils.experiment import save_implicit_map
 
