@@ -25,6 +25,9 @@ def ray_scene(rng, n, half=40.0):
 
 
 def main():
+    from pin_slam_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     from pin_slam_tpu.models import decoder as dec
     from pin_slam_tpu.models import neural_points as npts
     from pin_slam_tpu.ops.sampler import SamplerConfig, sample_rays

@@ -239,6 +239,46 @@ class SLAMDataset:
         return metrics
 
 
+    def write_merged_point_cloud(self, run_path: str, vox_down_m: float = 0.1,
+                                 frame_stride: int = 2,
+                                 max_points_per_frame: int = 30000) -> str:
+        """Replay the sequence through the final poses and write one merged,
+        voxel-downsampled point cloud (ref dataset/slam_dataset.py:560-628)."""
+        poses = self.pgo_poses if self.config.pgo_on else self.odom_poses
+        rng = np.random.default_rng(self.config.seed)
+        merged = {}
+        cfg = self.config
+        for i in range(0, min(len(poses), self.total_pc_count), max(frame_stride, 1)):
+            points, colors, _, _ = self.read_frame(i)
+            d = np.linalg.norm(points, axis=1)
+            keep = (d > cfg.min_range) & (d < cfg.max_range)
+            points = points[keep]
+            colors = colors[keep] if colors is not None else None
+            if points.shape[0] > max_points_per_frame:
+                sel = rng.choice(points.shape[0], max_points_per_frame, replace=False)
+                points = points[sel]
+                colors = colors[sel] if colors is not None else None
+            T = poses[i]
+            world = points @ T[:3, :3].T + T[:3, 3]
+            keys = np.floor(world / vox_down_m).astype(np.int64)
+            for k, p, c in zip(map(tuple, keys), world,
+                               colors if colors is not None else [None] * len(world)):
+                if k not in merged:
+                    merged[k] = (p, c)
+        pts = np.asarray([v[0] for v in merged.values()], dtype=np.float32)
+        cols = None
+        if merged and next(iter(merged.values()))[1] is not None:
+            cols = np.asarray([v[1] for v in merged.values()], dtype=np.float32)
+            if cols.ndim == 1:
+                cols = np.repeat(cols[:, None], 3, axis=1)
+            if cols.max(initial=0) > 1.0:
+                cols = cols / 255.0
+        out = os.path.join(run_path, "map", "merged_point_cloud.ply")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pio.write_ply(out, pts, colors=cols)
+        return out
+
+
 def _mask_all(points, colors, sem, ts, mask):
     return (points[mask],
             colors[mask] if colors is not None else None,

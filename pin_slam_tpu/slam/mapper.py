@@ -263,16 +263,19 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
         knn = npts.knn_search(lm_c, mc, coord, offsets)
 
         # eikonal stencil points: +-eps along each axis on a decimated subset
-        # (ref utils/mapper.py:683-733)
+        # (ref utils/mapper.py:683-733).  The stencil offset (0.2*voxel) is far
+        # inside the neighborhood validity radius, so the base point's kNN set
+        # is reused for all 6 stencil points instead of re-probing the hash —
+        # the interpolation distances/weights are still recomputed exactly.
         if mcfg.ekional_loss_on:
             sub = coord[:n_grad]
             eps_mat = jnp.eye(3, dtype=coord.dtype) * mcfg.num_grad_step
             stencil = jnp.concatenate(
                 [sub[None] + eps_mat[:, None, :], sub[None] - eps_mat[:, None, :]], axis=0
             ).reshape(-1, 3)  # (6*n_grad, 3)
-            knn_st = npts.knn_search(lm_c, mc, stencil, offsets)
+            knn_st_lidx = jnp.tile(knn.lidx[:n_grad], (6, 1))
         else:
-            stencil, knn_st = None, None
+            stencil, knn_st_lidx = None, None
 
         def loss_fn(p: TrainableParams):
             lmf = lm_c._replace(geo_features=p.features)
@@ -285,7 +288,7 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
             aux = {"sdf_loss": loss, "w": jax.lax.stop_gradient(w)}
 
             if mcfg.ekional_loss_on:
-                geo_st, _, w_st, _ = npts.interpolate_features(lmf, mc, stencil, knn_st.lidx,
+                geo_st, _, w_st, _ = npts.interpolate_features(lmf, mc, stencil, knn_st_lidx,
                                                                after_pgo=after_pgo)
                 sdf_st_flat, _ = dec.blended_sdf(p.geo, geo_st, w_st, mc.weighted_first,
                                                  mcfg.sdf_scale)
@@ -340,7 +343,7 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
         # certainty bookkeeping (ref model/neural_points.py:634-652)
         lm_c = npts.accumulate_certainty(lm_c, mc, knn.lidx, aux["w"], query_ts=ts_batch)
         if mcfg.ekional_loss_on:
-            lm_c = npts.accumulate_certainty(lm_c, mc, knn_st.lidx, aux["w_st"])
+            lm_c = npts.accumulate_certainty(lm_c, mc, knn_st_lidx, aux["w_st"])
 
         return (lm_c, params_c, opt_state_c), loss
 

@@ -507,6 +507,8 @@ class SlamSystem:
             pio.write_ply(os.path.join(run_path, "map", "neural_points.ply"),
                           np.asarray(self.state.positions[:count]),
                           extra={"certainty": np.asarray(self.state.certainties[:count])})
+        if cfg.save_merged_pc and self.dataset.total_pc_count > 0:
+            self.dataset.write_merged_point_cloud(run_path, vox_down_m=3 * cfg.vox_down_m)
         if cfg.save_mesh:
             from pin_slam_tpu.slam.mesher import Mesher, MesherConfig, split_chunks
 

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from pin_slam_tpu.models import decoder as dec
 from pin_slam_tpu.models import neural_points as npts
+from pin_slam_tpu.ops import smallmat
 from pin_slam_tpu.ops.transforms import so3_expmap
 
 
@@ -199,11 +200,13 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         return N, g, res_cm, valid_count
 
     def solve(N, g):
-        # LM diagonal damping + Jacobi preconditioning, f32
+        # LM diagonal damping + Jacobi preconditioning, f32.  Unrolled Cholesky:
+        # jnp.linalg.solve's generic LU path is pathologically slow to compile
+        # and run for a single 6x6 on TPU (see ops/smallmat.py)
         N_d = N + tc.lm_lambda * jnp.diag(jnp.diag(N))
         d = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(N_d), 1e-12))
         Ns = N_d * d[:, None] * d[None, :]
-        xs = jnp.linalg.solve(Ns + 1e-7 * jnp.eye(6, dtype=N.dtype), d * g)
+        xs = smallmat.cholesky_solve6(Ns + 1e-7 * jnp.eye(6, dtype=N.dtype), d * g)
         return d * xs
 
     def cond(carry):
@@ -260,14 +263,13 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
     valid = valid & (res_cm <= max_final_res_cm)
 
     N_tran = N[3:, 3:]
-    eigs = jnp.linalg.eigvalsh(N_tran)
-    min_eig = eigs[0]
+    min_eig = smallmat.sym_eigvals_min3(N_tran)
     if tc.eigenvalue_check:
         valid = valid & (min_eig >= valid_count.astype(jnp.float32) * tc.eigenvalue_ratio_thre)
 
     # covariance estimate (ref utils/tracker.py:521-536): inv(N) * weighted mse
     mse = (res_cm / 100.0) ** 2
-    cov = jnp.linalg.inv(N + 1e-6 * jnp.eye(6, dtype=N.dtype)) * mse
+    cov = smallmat.cholesky_inverse6(N + 1e-6 * jnp.eye(6, dtype=N.dtype)) * mse
 
     return TrackResult(R=R, t=t, valid=valid, converged=converged, iterations=i,
                        sdf_residual_cm=res_cm, valid_count=valid_count,
