@@ -113,8 +113,20 @@ class SLAMDataset:
         cfg = self.config
         points, colors, sem, ts = self.read_frame(frame_id)
 
+        if cfg.kitti_correction_on and cfg.correction_deg != 0.0:
+            points = intrinsic_correct(points, cfg.correction_deg)
+
+        # adaptive crop range (ref slam_dataset.py:264-274, used for NCD)
+        crop_max_range = cfg.max_range
+        if cfg.adaptive_range_on and points.shape[0] > 0:
+            pc_max = points.max(axis=0)
+            pc_min = points.min(axis=0)
+            min_x_range = min(abs(pc_max[0]), abs(pc_min[0]))
+            min_y_range = min(abs(pc_max[1]), abs(pc_min[1]))
+            crop_max_range = min(cfg.max_range, 2.0 * max(min_x_range, min_y_range))
+
         d = np.linalg.norm(points, axis=1)
-        keep = (d > cfg.min_range) & (d < cfg.max_range) \
+        keep = (d > cfg.min_range) & (d < crop_max_range) \
             & (points[:, 2] > cfg.min_z) & (points[:, 2] < cfg.max_z)
         points = points[keep]
         colors = colors[keep] if colors is not None else None
@@ -270,7 +282,9 @@ class SLAMDataset:
         if merged and next(iter(merged.values()))[1] is not None:
             cols = np.asarray([v[1] for v in merged.values()], dtype=np.float32)
             if cols.ndim == 1:
-                cols = np.repeat(cols[:, None], 3, axis=1)
+                cols = cols[:, None]
+            if cols.shape[1] == 1:                 # intensity -> gray RGB
+                cols = np.repeat(cols, 3, axis=1)
             if cols.max(initial=0) > 1.0:
                 cols = cols / 255.0
         out = os.path.join(run_path, "map", "merged_point_cloud.ply")
@@ -291,6 +305,22 @@ def _take_all(points, colors, sem, ts, idx):
             colors[idx] if colors is not None else None,
             sem[idx] if sem is not None else None,
             ts[idx] if ts is not None else None)
+
+
+def intrinsic_correct(points: np.ndarray, correct_deg: float = 0.0) -> np.ndarray:
+    """KITTI vertical-angle intrinsic correction (ref slam_dataset.py:837-854,
+    per CT-ICP / IMLS-SLAM): lift each point's vertical angle by correct_deg."""
+    if correct_deg == 0.0:
+        return points
+    out = points.copy()
+    dist = np.linalg.norm(points[:, :3], axis=1)
+    v_ang = np.arcsin(np.clip(points[:, 2] / np.maximum(dist, 1e-12), -1.0, 1.0))
+    v_ang_c = v_ang + np.radians(correct_deg)
+    hor_scale = np.cos(v_ang_c) / np.maximum(np.cos(v_ang), 1e-12)
+    out[:, 0] *= hor_scale
+    out[:, 1] *= hor_scale
+    out[:, 2] = dist * np.sin(v_ang_c)
+    return out
 
 
 def recover_point_ts(points: np.ndarray, lidar_type: str = "velodyne") -> np.ndarray:

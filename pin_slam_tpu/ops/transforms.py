@@ -152,8 +152,11 @@ def skew(v: jax.Array) -> jax.Array:
 
 def so3_expmap(w: jax.Array) -> jax.Array:
     """Rodrigues: axis-angle [...,3] -> rotation matrix (ref utils/tracker.py:580-589),
-    with a Taylor fallback at small angles (the reference divides by zero there)."""
-    angle = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    with a Taylor fallback at small angles (the reference divides by zero there).
+
+    The norm is eps-guarded: jnp.linalg.norm has a NaN gradient at exactly 0,
+    which poisons any optimization differentiating through expmap at identity."""
+    angle = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True) + 1e-24)
     small = angle < 1e-7
     safe = jnp.where(small, 1.0, angle)
     A = jnp.where(small, 1.0 - angle**2 / 6.0, jnp.sin(safe) / safe)[..., None]
@@ -181,7 +184,7 @@ def se3_expmap(xi: jax.Array) -> jax.Array:
     """se(3) [...,6] (rot first, then trans — the tracker's ordering,
     ref utils/tracker.py:504-507) -> [...,4,4]."""
     w, v = xi[..., :3], xi[..., 3:]
-    angle = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True) + 1e-24)  # NaN-grad guard
     small = angle < 1e-7
     safe = jnp.where(small, 1.0, angle)
     A = jnp.where(small, 1.0 - angle**2 / 6.0, jnp.sin(safe) / safe)[..., None]
