@@ -188,7 +188,8 @@ class SlamSystem:
                 self.offsets, source, src_valid,
                 jnp.asarray(R_init), jnp.asarray(t_init),
                 color_params=self.color_params if cfg.color_on else None,
-                source_colors=src_colors)
+                source_colors=src_colors,
+                after_pgo=jnp.asarray(self.after_pgo))
             valid_flag = bool(res.valid)
             if valid_flag:
                 T = np.eye(4)
@@ -404,7 +405,8 @@ class SlamSystem:
             lm_loop, self.mc, self.tc_loop, self.geo_params, self.sdf_scale,
             self.offsets, source, src_valid,
             jnp.asarray(guess[:3, :3].astype(np.float32)),
-            jnp.asarray((guess[:3, 3] - origin_loop).astype(np.float32)))
+            jnp.asarray((guess[:3, 3] - origin_loop).astype(np.float32)),
+            after_pgo=jnp.asarray(self.after_pgo))
 
         if not bool(res.valid):
             self.loop_reg_failed_count += 1

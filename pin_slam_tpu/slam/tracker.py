@@ -115,7 +115,8 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
                 R_init: jax.Array, t_init: jax.Array,
                 source_sdf: Optional[jax.Array] = None,
                 color_params: Optional[dec.DecoderParams] = None,
-                source_colors: Optional[jax.Array] = None) -> TrackResult:
+                source_colors: Optional[jax.Array] = None,
+                after_pgo=False) -> TrackResult:
     """Register ``source`` (sensor-frame, padded) against the implicit map.
 
     R_init/t_init: initial guess with translation EXPRESSED IN THE SHIFTED
@@ -139,7 +140,7 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
     def sdf_fn(pts_world):
         knn = npts.knn_search(lm, mc, pts_world, offsets)
         geo_feat, color_feat, w, _ = npts.interpolate_features(
-            lm, mc, pts_world, knn.lidx, query_color=color_on)
+            lm, mc, pts_world, knn.lidx, after_pgo=after_pgo, query_color=color_on)
         sdf_pred, sdf_std = dec.blended_sdf(geo_params, geo_feat, w,
                                             mc.weighted_first, sdf_scale)
         if color_on:
@@ -152,13 +153,26 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
 
     max_sdf_std = tc.surface_sample_range * tc.max_sdf_std_ratio
 
+    # the hand-derived gradient (tracker_grad.py) replaces jax.vjp on the
+    # geometry-only weighted-first path — same numbers, fewer scatter ops
+    use_analytic = mc.weighted_first and not color_on
+
     def one_step(R, t):
         cur = source @ R.T + t                       # shifted frame
         pts_world = cur + origin
 
-        (sdf_pred, intensity), vjp_fn, (nn_count, sdf_std) = jax.vjp(
-            sdf_fn, pts_world, has_aux=True)
-        grad = vjp_fn((jnp.ones_like(sdf_pred), jnp.zeros_like(intensity)))[0]
+        if use_analytic:
+            from pin_slam_tpu.slam.tracker_grad import sdf_value_and_grad
+
+            sdf_pred, grad, nn_count = sdf_value_and_grad(
+                lm, mc, geo_params, sdf_scale, offsets, pts_world, after_pgo)
+            sdf_std = jnp.zeros_like(sdf_pred)
+            intensity = jnp.zeros_like(sdf_pred)
+            vjp_fn = None
+        else:
+            (sdf_pred, intensity), vjp_fn, (nn_count, sdf_std) = jax.vjp(
+                sdf_fn, pts_world, has_aux=True)
+            grad = vjp_fn((jnp.ones_like(sdf_pred), jnp.zeros_like(intensity)))[0]
 
         grad_norm = jnp.linalg.norm(grad, axis=-1)
         mask = (source_valid

@@ -1,0 +1,78 @@
+"""Analytic SDF gradient must match jax.grad exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pin_slam_tpu.models import decoder as dec
+from pin_slam_tpu.models import neural_points as npts
+from pin_slam_tpu.slam.tracker_grad import sdf_value_and_grad
+from tests.test_neural_points import make_map, small_config
+
+
+def _setup(rng, hidden_level=1):
+    mc = small_config()
+    pts = rng.uniform(-4, 4, size=(800, 3)).astype(np.float32)
+    state, lm, travel = make_map(mc, pts)
+    count = int(lm.count)
+    feats = rng.normal(size=(count, mc.feature_dim)).astype(np.float32) * 0.3
+    state = state._replace(geo_features=state.geo_features.at[:count].set(feats))
+    lm = npts.build_local_map(state, mc, jnp.zeros(3), jnp.int32(0), travel)
+    geo = dec.init_decoder(jax.random.PRNGKey(1), 11, 64, hidden_level, 1)
+    offsets = jnp.asarray(npts.neighbor_offsets(2, 0.2))
+    q = rng.uniform(-3.5, 3.5, size=(128, 3)).astype(np.float32)
+    return mc, lm, geo, offsets, q
+
+
+def _ad_reference(lm, mc, geo, offsets, q, after_pgo=False):
+    def f(p):
+        knn = npts.knn_search(lm, mc, p, offsets)
+        feat, _, w, _ = npts.interpolate_features(lm, mc, p, knn.lidx,
+                                                  after_pgo=after_pgo)
+        return jnp.sum(dec.sdf(geo, feat, 0.055))
+
+    def fv(p):
+        knn = npts.knn_search(lm, mc, p, offsets)
+        feat, _, w, _ = npts.interpolate_features(lm, mc, p, knn.lidx,
+                                                  after_pgo=after_pgo)
+        return dec.sdf(geo, feat, 0.055)
+
+    return np.asarray(fv(q)), np.asarray(jax.grad(f)(q))
+
+
+def test_analytic_grad_matches_ad(rng):
+    mc, lm, geo, offsets, q = _setup(rng)
+    sdf_ref, grad_ref = _ad_reference(lm, mc, geo, offsets, jnp.asarray(q))
+    sdf, grad, nn = sdf_value_and_grad(lm, mc, geo, 0.055, offsets, jnp.asarray(q))
+    ok = np.asarray(nn) > 0
+    np.testing.assert_allclose(np.asarray(sdf)[ok], sdf_ref[ok], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad)[ok], grad_ref[ok], rtol=2e-4, atol=1e-5)
+
+
+def test_analytic_grad_matches_ad_2layer(rng):
+    mc, lm, geo, offsets, q = _setup(rng, hidden_level=2)
+    sdf_ref, grad_ref = _ad_reference(lm, mc, geo, offsets, jnp.asarray(q))
+    sdf, grad, nn = sdf_value_and_grad(lm, mc, geo, 0.055, offsets, jnp.asarray(q))
+    ok = np.asarray(nn) > 0
+    np.testing.assert_allclose(np.asarray(sdf)[ok], sdf_ref[ok], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad)[ok], grad_ref[ok], rtol=2e-4, atol=1e-5)
+
+
+def test_analytic_grad_after_pgo(rng):
+    mc, lm, geo, offsets, q = _setup(rng)
+    # non-trivial quaternions on the local map
+    from scipy.spatial.transform import Rotation
+
+    n = lm.orientations.shape[0]
+    quats = Rotation.random(n, random_state=3).as_quat()  # xyzw
+    wxyz = np.roll(quats, 1, axis=-1).astype(np.float32)
+    lm = lm._replace(orientations=jnp.asarray(wxyz))
+    lm = lm._replace(pose_rows=npts._pack_pose_rows(lm.positions, lm.orientations,
+                                                    lm.certainties))
+    sdf_ref, grad_ref = _ad_reference(lm, mc, geo, offsets, jnp.asarray(q),
+                                      after_pgo=True)
+    sdf, grad, nn = sdf_value_and_grad(lm, mc, geo, 0.055, offsets, jnp.asarray(q),
+                                       after_pgo=True)
+    ok = np.asarray(nn) > 0
+    np.testing.assert_allclose(np.asarray(sdf)[ok], sdf_ref[ok], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad)[ok], grad_ref[ok], rtol=5e-4, atol=2e-5)
