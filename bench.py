@@ -1,11 +1,18 @@
-"""Benchmark: end-to-end synthetic SLAM throughput + hot-kernel rates on the
-attached accelerator.  Prints ONE JSON line:
+"""Benchmark: end-to-end SLAM throughput of the REAL pipeline (SlamSystem) on
+the attached accelerator.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline metric: frames/s of the full odometry+mapping loop at KITTI-like
+Headline metric: frames/s of the full odometry+mapping loop at a KITTI-like
 per-frame workload (reference real-time target = 10 Hz sensor rate,
 /root/reference/README.md:99-101 -> vs_baseline = fps / 10).
-Extras: SDF train queries/s (fwd+bwd) and registration iters/s.
+
+The scene is an exact-raycast synthetic world (box room + pillars) with a
+moving, slowly-turning sensor, dense enough that registration passes all the
+health gates (valid_count, nn_count>=k, eigenvalue check) and runs a realistic
+number of Gauss-Newton iterations per frame — so the numbers measure the same
+code path a KITTI run exercises: source-prep -> track_frame (GN/LM while_loop)
+-> fused frame_update (sample/insert/local-map/pool) -> mapping_loop (15 Adam
+iters), all jitted device programs orchestrated by the host.
 """
 
 import json
@@ -13,143 +20,177 @@ import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+N_RAYS = 1 << 15        # rays per frame fed to the sampler/mapper
+N_WARM = 3              # warmup frames (compile + map bootstrap)
+N_BENCH = 12            # measured frames
 
 
-def ray_scene(rng, n, half=40.0):
-    d = rng.normal(size=(n, 3))
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    tmax = (half / np.abs(d)).min(axis=1)
-    return (d * tmax[:, None]).astype(np.float32)
+def make_world(rng):
+    """Dense cluttered corridor world: ground + walls + pillar clutter, each
+    point carrying its outward surface normal so scans can backface-cull
+    (LiDAR never sees the far side of a surface; without culling, free-space
+    samples of see-through rays contradict the surface labels and poison the
+    SDF).  Returns (points (N,3), normals (N,3))."""
+    pts, nrm = [], []
+    g = np.column_stack([rng.uniform(-15, 45, 60000), rng.uniform(-15, 15, 60000),
+                         -1.5 + 0.02 * rng.standard_normal(60000)])
+    pts.append(g)
+    nrm.append(np.tile([0.0, 0.0, 1.0], (60000, 1)))
+    for axis, lo_hi, sign in [(1, (-15, 45), -15.0), (1, (-15, 45), 15.0),
+                              (0, (-15, 15), -15.0), (0, (-15, 15), 45.0)]:
+        w = np.empty((60000, 3))
+        w[:, 1 if axis == 1 else 0] = sign + 0.05 * rng.standard_normal(60000)
+        w[:, 0 if axis == 1 else 1] = rng.uniform(*lo_hi, 60000)
+        w[:, 2] = rng.uniform(-1.5, 3.0, 60000)
+        pts.append(w)
+        n = np.zeros((60000, 3))
+        n[:, 1 if axis == 1 else 0] = -np.sign(sign)   # walls face inward
+        nrm.append(n)
+    for _ in range(40):
+        cx, cy = rng.uniform(-12, 42), rng.uniform(-12, 12)
+        if abs(cy) < 2.5:
+            continue  # keep the corridor free
+        radius = rng.uniform(0.8, 2.0)
+        ang = rng.uniform(0, 2 * np.pi, 3000)
+        p = np.column_stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang),
+                             rng.uniform(-1.5, 2.0, 3000)])
+        pts.append(p)
+        nrm.append(np.column_stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)]))
+    # thick "building" boxes flanking the corridor: their +-x faces constrain
+    # the travel direction (without them the corridor is a textbook degenerate
+    # geometry and the eigenvalue health gate rightly rejects every
+    # registration); thick boxes avoid the thin-surface label conflicts that
+    # behind-surface samples create
+    for bx in np.arange(-10.0, 42.0, 7.0):
+        for side in (-1.0, 1.0):
+            by = side * rng.uniform(4.0, 9.0)
+            wx, wy = rng.uniform(2.5, 4.5), rng.uniform(2.5, 4.5)
+            for axis, face_sign in [(0, -1), (0, 1), (1, -1), (1, 1)]:
+                m = 5000
+                f = np.empty((m, 3))
+                half = (wx, wy)[axis]
+                f[:, axis] = (bx, by)[axis] + face_sign * half \
+                    + 0.02 * rng.standard_normal(m)
+                f[:, 1 - axis] = rng.uniform(-(wx, wy)[1 - axis],
+                                             (wx, wy)[1 - axis], m) + (bx, by)[1 - axis]
+                f[:, 2] = rng.uniform(-1.5, 3.5, m)
+                pts.append(f)
+                n = np.zeros((m, 3))
+                n[:, axis] = face_sign
+                nrm.append(n)
+    return np.concatenate(pts).astype(np.float32), np.concatenate(nrm).astype(np.float32)
+
+
+def sensor_pose(i):
+    """Smooth trajectory with slow-start ramp: up to ~0.5 m/frame + gentle yaw."""
+    s = 0.5 * sum(min(1.0, (k + 1) / 5.0) for k in range(i))
+    yaw = 0.004 * i
+    R = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                  [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+    t = np.array([s, 0.5 * np.sin(0.1 * i), 0.02 * np.sin(0.3 * i)])
+    return R, t
+
+
+def lidar_scan(rng, world, origin, R, n_pts, max_range=20.0,
+               n_az=900, n_el=96):
+    """Visible world points in the SENSOR frame.  Occlusion is resolved with a
+    spherical depth buffer (nearest point per azimuth/elevation bin — the same
+    thing a spinning LiDAR measures), plus backface culling for surface
+    orientation.  world: (points, normals)."""
+    points, normals = world
+    local = (points - origin) @ R
+    dist = np.linalg.norm(local, axis=1)
+    facing = np.einsum("ij,ij->i", origin - points, normals) > 0
+    keep = (dist > 2.0) & (dist < max_range) & facing
+    pts, d = local[keep], dist[keep]
+
+    az = np.arctan2(pts[:, 1], pts[:, 0])                     # [-pi, pi)
+    el = np.arcsin(np.clip(pts[:, 2] / d, -1.0, 1.0))
+    ia = np.clip(((az + np.pi) / (2 * np.pi) * n_az).astype(np.int64), 0, n_az - 1)
+    ie = np.clip(((el + 0.6) / 1.2 * n_el).astype(np.int64), 0, n_el - 1)
+    bins = ia * n_el + ie
+    order = np.argsort(d, kind="stable")                      # nearest first
+    _, first = np.unique(bins[order], return_index=True)
+    pts = pts[order[first]]
+
+    sub = rng.choice(pts.shape[0], min(n_pts, pts.shape[0]), replace=False)
+    return pts[sub].astype(np.float32)
 
 
 def main():
     from pin_slam_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
-    from pin_slam_tpu.models import decoder as dec
-    from pin_slam_tpu.models import neural_points as npts
-    from pin_slam_tpu.ops.sampler import SamplerConfig, sample_rays
-    from pin_slam_tpu.slam import mapper as mp
-    from pin_slam_tpu.slam import tracker as trk
+    import jax
 
-    rng = np.random.default_rng(0)
+    from pin_slam_tpu.config import Config
+    from pin_slam_tpu.dataset.slam_dataset import Frame
+    from pin_slam_tpu.ops.voxel import pad_to
+    from pin_slam_tpu.slam.pipeline import SlamSystem
+
     platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+    world = make_world(rng)
 
-    # KITTI-like workload sizes (reference: bs 16384, 15 iters/frame,
-    # ~6k source points x <=50 reg iters; utils/config.py:240-247,162-174)
-    mc = npts.MapConfig(
-        capacity=1 << 20, local_capacity=1 << 17, hash_size=1 << 22, voxel_size=0.4,
-        feature_dim=8, color_on=False, nn_k=6,
-        max_valid_dist2=3.0 * (3 * 0.4) ** 2, local_map_radius=62.0,
-        travel_dist_window=310.0)
-    mcfg = mp.MapperConfig(
-        pool_capacity=1 << 20, new_idx_capacity=1 << 17, bs=16384, bs_new_sample=2048,
-        iters=15, lr=0.01, adam_eps=1e-15, sigma_sigmoid=0.1, sdf_scale=0.055,
-        loss_weight_on=False, ekional_loss_on=True, weight_e=0.5,
-        gradient_decimation=10, num_grad_step=0.08, surface_sample_range=0.25,
-        semantic_on=False, color_on=False, weight_s=1.0, weight_i=1.0)
-    sc = SamplerConfig(max_range=60.0)
-    tc = trk.TrackerConfig(reg_iter_n=50)
-    offsets = jnp.asarray(npts.neighbor_offsets(2, 0.2))
+    cfg = Config()                   # KITTI-like defaults: bs 16384, 15 iters
+    cfg.pgo_on = False
+    cfg.silence = True
+    cfg.min_range, cfg.max_range = 2.0, 20.0
+    cfg._derive()
+    cfg.log_loss_per_frame = False   # keep host from syncing on loss history
+    system = SlamSystem(cfg)
+    # synthetic dense-clutter scenes leave a smaller gate-passing fraction
+    # than real LiDAR (see tests/test_full_slam.py)
+    import dataclasses
+    system.tc = dataclasses.replace(system.tc, min_valid_ratio=0.1)
 
-    n_rays = 1 << 15            # ~32k rays/frame after preprocessing
-    n_src = 1 << 13             # registration source points
-    n_frames_bench = 12
-    travel_np = np.arange(1 << 12, dtype=np.float32) * 1.0
-    travel = jnp.asarray(np.concatenate([travel_np, np.full((1 << 16) - travel_np.size,
-                                                            travel_np[-1], np.float32)]))
+    def make_frame(i):
+        R, t = sensor_pose(i)
+        pts = lidar_scan(rng, world, t, R, N_RAYS)
+        arr, valid = pad_to(pts, N_RAYS)
+        return Frame(points=arr, valid=valid, colors=None, sem_labels=None,
+                     point_ts=None, raw_count=pts.shape[0])
 
-    state = npts.init_map_state(mc)
-    geo = dec.init_decoder(jax.random.PRNGKey(1), 11, 64, 1, 1)
-
-    key = jax.random.PRNGKey(0)
-
-    def one_frame(state, lm, params, frame_id, pose_t, warm):
-        """odometry (50 reg iters) + map insert + local map + 15 train iters"""
-        t_frame0 = time.perf_counter()
-        pts = ray_scene(rng, n_rays)
-        origin = np.asarray([pose_t, 0.0, 0.0], np.float32)
-
-        timings = {}
-        if frame_id > 0:
-            src = pts[:n_src]
-            t0 = time.perf_counter()
-            res = trk.track_frame(lm, mc, tc, params.geo, 0.055, offsets,
-                                  jnp.asarray(src), jnp.ones((n_src,), bool),
-                                  jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
-            jax.block_until_ready(res.t)
-            timings["track_s"] = time.perf_counter() - t0
-            timings["track_iters"] = int(res.iterations)
-
-        batch = sample_rays(jax.random.fold_in(key, frame_id), sc, jnp.asarray(pts),
-                            jnp.ones((n_rays,), bool))
-        coord_world = batch.coord + jnp.asarray(origin)
-        surf = batch.valid & (jnp.abs(batch.sdf_label) < 0.125)
+    frame_times, infos = [], []
+    for i in range(N_WARM + N_BENCH):
+        frame = make_frame(i)
         t0 = time.perf_counter()
-        state = npts.map_insert(state, mc, coord_world, surf, jnp.int32(frame_id),
-                                travel, downsample_table_size=1 << 20)
-        lm = npts.build_local_map(state, mc, jnp.asarray(origin), jnp.int32(frame_id),
-                                  travel)
-        jax.block_until_ready(lm.count)
-        timings["map_update_s"] = time.perf_counter() - t0
+        info = system.process_frame(frame)
+        dt = time.perf_counter() - t0
+        if i >= N_WARM:
+            frame_times.append(dt)
+            infos.append(info)
 
-        pool = one_frame.pool
-        pool = mp.pool_append(pool, mcfg, coord_world, batch.coord, batch.sdf_label,
-                              batch.weight, batch.valid, jnp.int32(frame_id),
-                              jnp.zeros_like(batch.valid))
-        one_frame.pool = pool
-
-        params = params._replace(features=lm.geo_features)
-        opt_state = mp.make_optimizer(mcfg).init(params)
-        t0 = time.perf_counter()
-        lm2, params, _, _ = mp.mapping_loop(
-            lm, mc, params, opt_state, pool, mcfg, offsets,
-            jax.random.fold_in(key, 1000 + frame_id),
-            jnp.float32(1.0), jnp.zeros((), bool), jnp.zeros((), bool),
-            num_iters=mcfg.iters)
-        jax.block_until_ready(params.features)
-        timings["train_s"] = time.perf_counter() - t0
-        lm = lm2._replace(geo_features=params.features)
-        state = npts.assign_local_to_global(state, lm, mc)
-        timings["frame_s"] = time.perf_counter() - t_frame0
-        return state, lm, params, timings
-
-    lm = npts.init_local_map(mc)
-    params = mp.TrainableParams(features=lm.geo_features, color_features=None,
-                                geo=geo, sem=None, color=None)
-    one_frame.pool = mp.init_pool(mcfg)
-
-    # warmup / compile
-    state, lm, params, _ = one_frame(state, lm, params, 0, 0.0, warm=True)
-    state, lm, params, _ = one_frame(state, lm, params, 1, 1.0, warm=True)
-
-    frame_times, track_times, train_times, track_iters = [], [], [], []
-    for f in range(2, 2 + n_frames_bench):
-        state, lm, params, tm = one_frame(state, lm, params, f, float(f), warm=False)
-        frame_times.append(tm["frame_s"])
-        train_times.append(tm["train_s"])
-        if "track_s" in tm:
-            track_times.append(tm["track_s"])
-            track_iters.append(max(tm["track_iters"], 1))
+    reg_valid = sum(1 for x in infos if x.get("reg_valid"))
+    reg_iters = sum(x.get("reg_iters", 0) for x in infos)
+    stage = np.array(system.stage_times[N_WARM:])  # [pre, odom, map-prep, train, pgo]
 
     fps = 1.0 / float(np.mean(frame_times))
+    track_s = float(stage[:, 1].sum())
+    train_s = float(stage[:, 3].sum())
     # fwd+bwd queries per train iter: bs + 6*bs/decimation eikonal stencil
-    q_per_iter = mcfg.bs * (1 + 6 / mcfg.gradient_decimation)
-    train_qps = q_per_iter * mcfg.iters / float(np.mean(train_times))
-    reg_iters_per_s = float(np.sum(track_iters) / np.sum(track_times)) if track_times else 0.0
+    q_per_iter = cfg.bs * (1 + 6 / cfg.gradient_decimation)
+    train_qps = q_per_iter * cfg.iters * len(infos) / max(train_s, 1e-9)
+    reg_iters_per_s = reg_iters / max(track_s, 1e-9)
 
     print(json.dumps({
-        "metric": "synthetic_slam_frames_per_s",
+        "metric": "slam_frames_per_s",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 3),   # reference real-time target: 10 Hz
+        "vs_baseline": round(fps / 10.0, 3),  # reference real-time target: 10 Hz
         "platform": platform,
+        "reg_valid_frames": reg_valid,
+        "bench_frames": len(infos),
         "sdf_train_queries_per_s": round(train_qps),
         "registration_iters_per_s": round(reg_iters_per_s, 1),
-        "map_points": int(state.count),
-        "local_points": int(lm.count),
+        "stage_ms": {
+            "preprocess": round(float(stage[:, 0].mean()) * 1000, 1),
+            "odometry": round(float(stage[:, 1].mean()) * 1000, 1),
+            "map_update": round(float(stage[:, 2].mean()) * 1000, 1),
+            "training": round(float(stage[:, 3].mean()) * 1000, 1),
+        },
+        "map_points": int(system.state.count),
+        "local_points": int(system.lm.count),
     }))
 
 

@@ -295,6 +295,9 @@ class Config:
         self.insert_bucket: int = 1 << 16         # padded per-frame map-insert batch
         self.downsample_hash_size: int = 1 << 20  # scratch hash for voxel downsampling
         self.mesh_query_bucket: int = 1 << 18     # padded chunk for mesh grid queries
+        # syncing per-frame loss scalars to host costs a device round trip per
+        # frame; disable for benchmarking / production runs
+        self.log_loss_per_frame: bool = True
 
         # sharding
         self.mesh_shape: List[int] = []           # e.g. [8] for 8-way data parallel

@@ -160,11 +160,15 @@ def _pack_hash_rows(mc: MapConfig, positions: jax.Array, count: jax.Array) -> ja
     active = lidx < count
     h = spatial_hash(grid_coords(positions, mc.voxel_size), Hl)
     slot = jnp.where(active, h, Hl)                      # pads go to the dump slot
-    rows = jnp.concatenate(
-        [positions, jax.lax.bitcast_convert_type(lidx, jnp.float32)[:, None]], axis=1)
+    # the index payload is VALUE-cast to f32 (exact for < 2^24), NOT bitcast:
+    # int32 bit patterns of small indices are denormal floats and TPUs flush
+    # denormals to zero anywhere the value crosses the VPU — a bitcast payload
+    # silently reads back as index 0 on real hardware (CPU preserves the bits,
+    # which is exactly the kind of bug fake-device tests cannot catch)
+    rows = jnp.concatenate([positions, lidx.astype(jnp.float32)[:, None]], axis=1)
     sentinel_row = jnp.concatenate(
         [jnp.full((3,), _SENTINEL_POS, jnp.float32),
-         jax.lax.bitcast_convert_type(jnp.int32(L), jnp.float32)[None]])
+         jnp.asarray([L], jnp.float32)])
     table = jnp.broadcast_to(sentinel_row, (Hl + 1, 4))
     return table.at[slot].set(rows)
 
@@ -371,7 +375,7 @@ def knn_search(lm: LocalMap, mc: MapConfig, points: jax.Array,
     h = spatial_hash(cells, mc.local_hash_size)                # (B,K)
     rows = lm.hash_rows[h]                                     # (B,K,4) one gather
     nbr = rows[..., :3]
-    lidx = jax.lax.bitcast_convert_type(rows[..., 3], jnp.int32)
+    lidx = rows[..., 3].astype(jnp.int32)   # value-cast payload (see _pack_hash_rows)
 
     d = nbr - points[:, None, :]
     dist2 = jnp.sum(d * d, axis=-1)                            # (B,K)

@@ -110,7 +110,11 @@ class SlamSystem:
                                           cfg.downsample_hash_size)
             idx = jnp.nonzero(keep, size=cfg.source_bucket, fill_value=0)[0]
             col = colors[idx] if colors is not None else None
-            return points[idx], keep[idx], col
+            # slots past the true keep-count hold duplicates of row 0 — mark
+            # them invalid so they can't inflate valid_count / skew the solve
+            n_keep = jnp.sum(keep, dtype=jnp.int32)
+            src_valid = jnp.arange(cfg.source_bucket, dtype=jnp.int32) < n_keep
+            return points[idx], src_valid, col
 
         @jax.jit
         def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
@@ -272,9 +276,10 @@ class SlamSystem:
                 lm, self.mc, params, opt_state, self.pool, self.mcfg,
                 self.offsets, jax.random.fold_in(k_train, remaining), dec_scale,
                 use_new, jnp.asarray(self.after_pgo), num_iters=int(cfg.iters))
-            if loss_first is None:
-                loss_first = float(loss_hist[0])
-            loss_last = float(loss_hist[-1])
+            if cfg.log_loss_per_frame:
+                if loss_first is None:
+                    loss_first = float(loss_hist[0])
+                loss_last = float(loss_hist[-1])
             remaining -= step
 
         self.lm = lm._replace(geo_features=params.features,
