@@ -136,6 +136,14 @@ def main():
     cfg.pgo_on = False
     cfg.silence = True
     cfg.min_range, cfg.max_range = 2.0, 20.0
+    # static-shape capacities sized to the scene (a KITTI-city run would set
+    # these in its YAML the same way; oversizing costs gather/scatter width)
+    cfg.map_capacity = 1 << 20
+    cfg.local_map_capacity = 1 << 17
+    cfg.buffer_size = 1 << 22
+    cfg.pool_capacity = 1 << 21
+    cfg.downsample_hash_size = 1 << 19
+    cfg.frame_bucket = 1 << 15
     cfg._derive()
     cfg.log_loss_per_frame = False   # keep host from syncing on loss history
     system = SlamSystem(cfg)
@@ -151,9 +159,11 @@ def main():
         return Frame(points=arr, valid=valid, colors=None, sem_labels=None,
                      point_ts=None, raw_count=pts.shape[0])
 
+    # scan synthesis is harness cost, not pipeline cost — pregenerate
+    frames = [make_frame(i) for i in range(N_WARM + N_BENCH)]
+
     frame_times, infos = [], []
-    for i in range(N_WARM + N_BENCH):
-        frame = make_frame(i)
+    for i, frame in enumerate(frames):
         t0 = time.perf_counter()
         info = system.process_frame(frame)
         dt = time.perf_counter() - t0

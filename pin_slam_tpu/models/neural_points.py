@@ -22,6 +22,7 @@ Design deltas vs the reference (SURVEY.md section 7.0):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -92,18 +93,59 @@ def neighbor_offsets(num_nei_cells: int, search_alpha: float) -> np.ndarray:
     return dx[keep].astype(np.int32)
 
 
-class MapState(NamedTuple):
-    """Global neural point map (SoA, capacity+1 rows, last row = sentinel)."""
+# Packed per-point attribute row layout (f32).  TPU scatters/gathers pay per
+# ROW, almost independent of row width, so every non-trainable per-point field
+# lives in ONE (…,16) array: a map insert is ONE attribute scatter instead of
+# six, and a local-map build is ONE attribute gather (plus the feature
+# tensors, which stay separate because they are trained).  Timestamps are
+# value-cast f32 (exact below 2^24 frames); travel distances are stored as
+# VALUES at write time so no ``travel_dist[ts]`` mega-gather is ever needed.
+ATTR_DIM = 16
+C_POS = slice(0, 3)        # x, y, z
+C_QUAT = slice(3, 7)       # qw, qx, qy, qz
+C_CERT = 7                 # accumulated certainty
+C_TSC = 8                  # creation frame id (f32 value-cast)
+C_TSU = 9                  # last-update frame id (f32 value-cast)
+C_TRC = 10                 # travel distance at creation
+C_TRU = 11                 # travel distance at last update
+C_WRITEBACK = slice(C_CERT, C_TRU + 1)  # columns the local map writes back
 
-    positions: jax.Array       # (cap+1, 3) f32, sentinel at 1e8
-    orientations: jax.Array    # (cap+1, 4) f32 wxyz
+
+def _attr_sentinel_row() -> jax.Array:
+    row = jnp.zeros((ATTR_DIM,), jnp.float32)
+    row = row.at[0].set(_SENTINEL_POS).at[1].set(_SENTINEL_POS).at[2].set(_SENTINEL_POS)
+    return row.at[3].set(1.0)  # identity quaternion
+
+
+class MapState(NamedTuple):
+    """Global neural point map (capacity+1 rows, last row = sentinel)."""
+
+    attr_rows: jax.Array       # (cap+1, 16) f32 packed attributes (see C_*)
     geo_features: jax.Array    # (cap+1, F) f32
     color_features: Optional[jax.Array]  # (cap+1, F) or None
-    ts_create: jax.Array       # (cap+1,) i32
-    ts_update: jax.Array       # (cap+1,) i32
-    certainties: jax.Array     # (cap+1,) f32
     count: jax.Array           # () i32
     hash_table: jax.Array      # (H+1,) i32; value `cap` = empty; slot H = dump
+
+    # read-only views (kept for mesher/eval/IO compatibility)
+    @property
+    def positions(self) -> jax.Array:
+        return self.attr_rows[:, C_POS]
+
+    @property
+    def orientations(self) -> jax.Array:
+        return self.attr_rows[:, C_QUAT]
+
+    @property
+    def certainties(self) -> jax.Array:
+        return self.attr_rows[:, C_CERT]
+
+    @property
+    def ts_create(self) -> jax.Array:
+        return self.attr_rows[:, C_TSC].astype(jnp.int32)
+
+    @property
+    def ts_update(self) -> jax.Array:
+        return self.attr_rows[:, C_TSU].astype(jnp.int32)
 
 
 class LocalMap(NamedTuple):
@@ -111,26 +153,43 @@ class LocalMap(NamedTuple):
 
     All per-point arrays have ``local_capacity+1`` rows; row L is the sentinel.
 
-    TPU layout notes: random row-gathers are the hot-path cost (~3 ms per 540k
-    rows on v5e), so everything a kNN probe needs is packed into ONE 16-byte
-    row of ``hash_rows`` (position + local index), and everything interpolation
-    needs beyond the trainable features into one 32-byte row of ``pose_rows``
-    (position, quaternion, certainty snapshot).  This replaces the reference's
-    five separate gathers per probe (model/neural_points.py:476-499,555-616).
+    TPU layout notes: random row-gathers/scatters are the hot-path cost and
+    are paid per ROW, so everything a kNN probe needs is packed into ONE
+    16-byte row of ``hash_rows`` (position + local index) and all other
+    non-trainable attributes into one ``attr_rows`` row shared with the
+    global layout.  This replaces the reference's five separate gathers per
+    probe (model/neural_points.py:476-499,555-616).
     """
 
     indices: jax.Array         # (L+1,) i32 local->global, pad = cap
-    positions: jax.Array       # (L+1, 3)
-    orientations: jax.Array    # (L+1, 4)
+    attr_rows: jax.Array       # (L+1, 16) f32 packed attributes (see C_*)
     geo_features: jax.Array    # (L+1, F) — the trainable tensor
     color_features: Optional[jax.Array]
-    certainties: jax.Array     # (L+1,)
-    ts_update: jax.Array       # (L+1,) i32
     count: jax.Array           # () i32
     global2local: jax.Array    # (cap+1,) i32 -> [0,L], sentinel L
     origin: jax.Array          # (3,) f32 sensor position at (re)build time
-    hash_rows: jax.Array       # (H_l+1, 4) f32: [x, y, z, bitcast(local idx)]
-    pose_rows: jax.Array       # (L+1, 8) f32: [x, y, z, qw, qx, qy, qz, certainty]
+    hash_rows: jax.Array       # (H_l+1, 4) f32: [x, y, z, float(local idx)]
+
+    @property
+    def positions(self) -> jax.Array:
+        return self.attr_rows[:, C_POS]
+
+    @property
+    def orientations(self) -> jax.Array:
+        return self.attr_rows[:, C_QUAT]
+
+    @property
+    def certainties(self) -> jax.Array:
+        return self.attr_rows[:, C_CERT]
+
+    @property
+    def ts_update(self) -> jax.Array:
+        return self.attr_rows[:, C_TSU].astype(jnp.int32)
+
+    @property
+    def pose_rows(self) -> jax.Array:
+        """[x,y,z,qw,qx,qy,qz,cert] view used by interpolation."""
+        return self.attr_rows[:, :8]
 
 
 # ----------------------------------------------------------------------
@@ -141,13 +200,9 @@ class LocalMap(NamedTuple):
 def init_map_state(mc: MapConfig) -> MapState:
     cap, F = mc.capacity, mc.feature_dim
     return MapState(
-        positions=jnp.full((cap + 1, 3), _SENTINEL_POS, dtype=jnp.float32),
-        orientations=jnp.zeros((cap + 1, 4), dtype=jnp.float32).at[:, 0].set(1.0),
+        attr_rows=jnp.broadcast_to(_attr_sentinel_row(), (cap + 1, ATTR_DIM)),
         geo_features=jnp.zeros((cap + 1, F), dtype=jnp.float32),
         color_features=jnp.zeros((cap + 1, F), dtype=jnp.float32) if mc.color_on else None,
-        ts_create=jnp.zeros((cap + 1,), dtype=jnp.int32),
-        ts_update=jnp.zeros((cap + 1,), dtype=jnp.int32),
-        certainties=jnp.zeros((cap + 1,), dtype=jnp.float32),
         count=jnp.zeros((), dtype=jnp.int32),
         hash_table=jnp.full((mc.hash_size + 1,), cap, dtype=jnp.int32),
     )
@@ -173,30 +228,19 @@ def _pack_hash_rows(mc: MapConfig, positions: jax.Array, count: jax.Array) -> ja
     return table.at[slot].set(rows)
 
 
-def _pack_pose_rows(positions: jax.Array, orientations: jax.Array,
-                    certainties: jax.Array) -> jax.Array:
-    return jnp.concatenate([positions, orientations, certainties[:, None]], axis=1)
-
-
 def init_local_map(mc: MapConfig) -> LocalMap:
     L, F = mc.local_capacity, mc.feature_dim
-    positions = jnp.full((L + 1, 3), _SENTINEL_POS, dtype=jnp.float32)
-    orientations = jnp.zeros((L + 1, 4), dtype=jnp.float32).at[:, 0].set(1.0)
-    certainties = jnp.zeros((L + 1,), dtype=jnp.float32)
+    attr_rows = jnp.broadcast_to(_attr_sentinel_row(), (L + 1, ATTR_DIM))
     count = jnp.zeros((), dtype=jnp.int32)
     return LocalMap(
         indices=jnp.full((L + 1,), mc.capacity, dtype=jnp.int32),
-        positions=positions,
-        orientations=orientations,
+        attr_rows=attr_rows,
         geo_features=jnp.zeros((L + 1, F), dtype=jnp.float32),
         color_features=jnp.zeros((L + 1, F), dtype=jnp.float32) if mc.color_on else None,
-        certainties=certainties,
-        ts_update=jnp.zeros((L + 1,), dtype=jnp.int32),
         count=count,
         global2local=jnp.full((mc.capacity + 1,), L, dtype=jnp.int32),
         origin=jnp.zeros((3,), dtype=jnp.float32),
-        hash_rows=_pack_hash_rows(mc, positions, count),
-        pose_rows=_pack_pose_rows(positions, orientations, certainties),
+        hash_rows=_pack_hash_rows(mc, attr_rows[:, C_POS], count),
     )
 
 
@@ -205,6 +249,7 @@ def init_local_map(mc: MapConfig) -> LocalMap:
 # ----------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("mc", "downsample_table_size"))
 def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Array,
                cur_ts: jax.Array, travel_dist: jax.Array,
                rng: Optional[jax.Array] = None,
@@ -217,15 +262,18 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
     window exceeded) -> masked scatter-append at ``count + cumsum``.
     """
     cap = mc.capacity
+    m = points.shape[0]
 
     keep = voxel_down_sample_mask(points, valid, mc.voxel_size, downsample_table_size)
 
     grid = grid_coords(points, mc.voxel_size)
     h = spatial_hash(grid, mc.hash_size)
     existing = state.hash_table[h]                       # (M,) global idx, cap = empty
-    vec = state.positions[existing] - points
+    old = state.attr_rows[existing]                      # ONE attribute gather
+    vec = old[:, C_POS] - points
     dist2 = jnp.sum(vec * vec, axis=-1)
-    delta_travel = travel_dist[cur_ts] - travel_dist[state.ts_update[existing]]
+    travel_now = travel_dist[cur_ts]
+    delta_travel = travel_now - old[:, C_TRU]            # stored travel value
     is_empty = existing == cap
     update_mask = keep & (
         is_empty
@@ -241,31 +289,28 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
 
     n_f = mc.feature_dim
     if mc.feature_std > 0 and rng is not None:
-        new_feats = mc.feature_std * jax.random.normal(rng, (points.shape[0], n_f), dtype=jnp.float32)
+        new_feats = mc.feature_std * jax.random.normal(rng, (m, n_f), dtype=jnp.float32)
     else:
-        new_feats = jnp.zeros((points.shape[0], n_f), dtype=jnp.float32)
+        new_feats = jnp.zeros((m, n_f), dtype=jnp.float32)
 
-    identity_q = jnp.zeros((points.shape[0], 4), jnp.float32).at[:, 0].set(1.0)
-    ts_fill = jnp.full((points.shape[0],), 1, jnp.int32) * cur_ts
+    ts_f = jnp.full((m,), 1.0, jnp.float32) * cur_ts.astype(jnp.float32)
+    trav_f = jnp.full((m,), 1.0, jnp.float32) * travel_now
+    rows = jnp.zeros((m, ATTR_DIM), jnp.float32)
+    rows = rows.at[:, C_POS].set(points.astype(jnp.float32))
+    rows = rows.at[:, 3].set(1.0)                        # identity quaternion
+    rows = rows.at[:, C_TSC].set(ts_f).at[:, C_TSU].set(ts_f)
+    rows = rows.at[:, C_TRC].set(trav_f).at[:, C_TRU].set(trav_f)
 
-    positions = state.positions.at[write_idx].set(points.astype(jnp.float32))
-    orientations = state.orientations.at[write_idx].set(identity_q)
+    attr_rows = state.attr_rows.at[write_idx].set(rows)  # ONE attribute scatter
     geo_features = state.geo_features.at[write_idx].set(new_feats)
     color_features = (state.color_features.at[write_idx].set(new_feats)
                       if state.color_features is not None else None)
-    ts_create = state.ts_create.at[write_idx].set(ts_fill)
-    ts_update = state.ts_update.at[write_idx].set(ts_fill)
-    certainties = state.certainties.at[write_idx].set(0.0)
 
     # restore the sentinel row (dropped/padded writes land there)
-    positions = positions.at[cap].set(_SENTINEL_POS)
-    orientations = orientations.at[cap].set(jnp.array([1.0, 0, 0, 0], jnp.float32))
+    attr_rows = attr_rows.at[cap].set(_attr_sentinel_row())
     geo_features = geo_features.at[cap].set(0.0)
     if color_features is not None:
         color_features = color_features.at[cap].set(0.0)
-    ts_create = ts_create.at[cap].set(0)
-    ts_update = ts_update.at[cap].set(0)
-    certainties = certainties.at[cap].set(0.0)
 
     # point the hash slots at the new rows (only for inserted points)
     slot = jnp.where(update_mask, h, mc.hash_size)       # dump slot for the rest
@@ -273,8 +318,7 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
 
     new_count = jnp.minimum(state.count + jnp.sum(update_mask, dtype=jnp.int32), cap)
 
-    return MapState(positions, orientations, geo_features, color_features,
-                    ts_create, ts_update, certainties, new_count, hash_table)
+    return MapState(attr_rows, geo_features, color_features, new_count, hash_table)
 
 
 # ----------------------------------------------------------------------
@@ -282,19 +326,23 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
 # ----------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("mc",))
 def build_local_map(state: MapState, mc: MapConfig, origin: jax.Array,
                     cur_ts: jax.Array, travel_dist: jax.Array) -> LocalMap:
     """Select points within radius AND travel-dist window into a fixed-size
     trainable slice (ref model/neural_points.py:272-313 ``reset_local_map``)."""
     cap, L = mc.capacity, mc.local_capacity
 
-    vec = state.positions[:cap] - origin
+    vec = state.attr_rows[:cap, C_POS] - origin
     dist2 = jnp.sum(vec * vec, axis=-1)
+    travel_now = travel_dist[cur_ts]
     if mc.use_mid_ts:
-        ts_used = (state.ts_create[:cap] + state.ts_update[:cap]) // 2
+        ts_used = ((state.attr_rows[:cap, C_TSC] + state.attr_rows[:cap, C_TSU]) / 2
+                   ).astype(jnp.int32)
+        travel_used = travel_dist[ts_used]               # gather only on this path
     else:
-        ts_used = state.ts_create[:cap]
-    delta_travel = jnp.abs(travel_dist[cur_ts] - travel_dist[ts_used])
+        travel_used = state.attr_rows[:cap, C_TRC]       # stored value, no gather
+    delta_travel = jnp.abs(travel_now - travel_used)
     active = jnp.arange(cap, dtype=jnp.int32) < state.count
     mask = active & (dist2 < mc.local_map_radius**2) & (delta_travel < mc.travel_dist_window)
 
@@ -306,40 +354,53 @@ def build_local_map(state: MapState, mc: MapConfig, origin: jax.Array,
 
     idx_pad = jnp.concatenate([idx, jnp.array([cap], jnp.int32)])
 
-    positions = state.positions[idx_pad]
-    orientations = state.orientations[idx_pad]
+    attr_rows = state.attr_rows[idx_pad]                 # ONE attribute gather
+    attr_rows = attr_rows.at[L].set(_attr_sentinel_row())
     geo_features = state.geo_features[idx_pad]
     color_features = state.color_features[idx_pad] if state.color_features is not None else None
-    certainties = state.certainties[idx_pad].at[L].set(0.0)
-    ts_update = state.ts_update[idx_pad].at[L].set(0)
 
     global2local = jnp.full((cap + 1,), L, dtype=jnp.int32)
     global2local = global2local.at[idx].set(jnp.arange(L, dtype=jnp.int32), mode="drop")
     global2local = global2local.at[cap].set(L)
 
-    return LocalMap(indices=idx_pad, positions=positions, orientations=orientations,
+    return LocalMap(indices=idx_pad, attr_rows=attr_rows,
                     geo_features=geo_features, color_features=color_features,
-                    certainties=certainties, ts_update=ts_update, count=count,
-                    global2local=global2local, origin=origin.astype(jnp.float32),
-                    hash_rows=_pack_hash_rows(mc, positions, count),
-                    pose_rows=_pack_pose_rows(positions, orientations, certainties))
+                    count=count, global2local=global2local,
+                    origin=origin.astype(jnp.float32),
+                    hash_rows=_pack_hash_rows(mc, attr_rows[:, C_POS], count))
 
 
-def assign_local_to_global(state: MapState, lm: LocalMap, mc: MapConfig) -> MapState:
-    """Write trained local features/certainties/ts back into the global map
-    (ref model/neural_points.py:315-324)."""
+@partial(jax.jit, static_argnames=("mc",))
+def assign_local_to_global(state: MapState, lm: LocalMap, mc: MapConfig,
+                           travel_dist: Optional[jax.Array] = None) -> MapState:
+    """Write trained local features + certainty/ts bookkeeping back into the
+    global map (ref model/neural_points.py:315-324).
+
+    The write-back covers attribute columns [cert, ts_create, ts_update,
+    travel_create, travel_update] in one scatter; ts_create/travel_create are
+    unchanged copies gathered at build time (nothing mutates them while a
+    local map is live), so including them is free and keeps the scatter
+    contiguous.  ``travel_dist`` (frame -> cumulative travel) refreshes the
+    stored travel_update value to match the possibly-bumped ts_update
+    (ref model/neural_points.py:634-652 staleness bookkeeping).
+    """
     cap = mc.capacity
     geo_features = state.geo_features.at[lm.indices].set(lm.geo_features)
     geo_features = geo_features.at[cap].set(0.0)
-    certainties = state.certainties.at[lm.indices].set(lm.certainties)
-    certainties = certainties.at[cap].set(0.0)
-    ts_update = state.ts_update.at[lm.indices].set(lm.ts_update)
-    ts_update = ts_update.at[cap].set(0)
+    wb = lm.attr_rows
+    if travel_dist is not None:
+        tru = travel_dist[lm.attr_rows[:, C_TSU].astype(jnp.int32)]
+        wb = wb.at[:, C_TRU].set(tru)
+    # full-row scatter: position/quaternion columns are unchanged copies from
+    # build time (any global deformation rebuilds the local map first), and a
+    # whole-row scatter avoids the pathologically slow strided column scatter
+    attr_rows = state.attr_rows.at[lm.indices].set(wb)
+    attr_rows = attr_rows.at[cap].set(_attr_sentinel_row())
     color_features = state.color_features
     if color_features is not None and lm.color_features is not None:
         color_features = color_features.at[lm.indices].set(lm.color_features).at[cap].set(0.0)
-    return state._replace(geo_features=geo_features, certainties=certainties,
-                          ts_update=ts_update, color_features=color_features)
+    return state._replace(geo_features=geo_features, attr_rows=attr_rows,
+                          color_features=color_features)
 
 
 # ----------------------------------------------------------------------
@@ -407,10 +468,10 @@ def interpolate_features(lm: LocalMap, mc: MapConfig, points: jax.Array,
     valid = knn_lidx < L                                        # (B,k)
     safe_idx = jnp.where(valid, knn_lidx, L)
 
-    pose = lm.pose_rows[safe_idx]                               # (B,k,8) one gather
-    nbr_pos = pose[..., :3]
-    quat = pose[..., 3:7]
-    cert = pose[..., 7]
+    pose = lm.attr_rows[safe_idx]                               # (B,k,16) one gather
+    nbr_pos = pose[..., C_POS]
+    quat = pose[..., C_QUAT]
+    cert = pose[..., C_CERT]
     vec = points[:, None, :] - nbr_pos
     dist2 = jnp.sum(vec * vec, axis=-1)                         # (B,k) differentiable
     dist2 = jnp.where(valid, dist2, _INVALID_DIST2)
@@ -464,15 +525,14 @@ def accumulate_certainty(lm: LocalMap, mc: MapConfig, knn_lidx: jax.Array,
     (ref model/neural_points.py:634-652)."""
     L = mc.local_capacity
     valid = knn_lidx < L
-    idx = jnp.where(valid, knn_lidx, L)
-    certainties = lm.certainties.at[idx.reshape(-1)].add(
-        jnp.where(valid, weights, 0.0).reshape(-1)).at[L].set(0.0)
-    ts_update = lm.ts_update
+    idx = jnp.where(valid, knn_lidx, L).reshape(-1)
+    attr = lm.attr_rows.at[idx, C_CERT].add(
+        jnp.where(valid, weights, 0.0).reshape(-1))
     if query_ts is not None:
-        ts_b = jnp.broadcast_to(query_ts[:, None], idx.shape)
-        ts_update = ts_update.at[idx.reshape(-1)].max(
-            jnp.where(valid, ts_b, 0).reshape(-1)).at[L].set(0)
-    return lm._replace(certainties=certainties, ts_update=ts_update)
+        ts_b = jnp.broadcast_to(query_ts[:, None], valid.shape).astype(jnp.float32)
+        attr = attr.at[idx, C_TSU].max(jnp.where(valid, ts_b, 0.0).reshape(-1))
+    attr = attr.at[L].set(_attr_sentinel_row())
+    return lm._replace(attr_rows=attr)
 
 
 def query_certainty(lm: LocalMap, mc: MapConfig, points: jax.Array) -> jax.Array:
@@ -482,7 +542,8 @@ def query_certainty(lm: LocalMap, mc: MapConfig, points: jax.Array) -> jax.Array
     center = np.zeros((1, 3), dtype=np.int32)
     res = knn_search(lm, mc, points, jnp.asarray(center))
     valid = res.lidx < mc.local_capacity
-    cert = jnp.where(valid, lm.certainties[jnp.where(valid, res.lidx, mc.local_capacity)], 0.0)
+    safe = jnp.where(valid, res.lidx, mc.local_capacity)
+    cert = jnp.where(valid, lm.attr_rows[safe, C_CERT], 0.0)
     return jnp.max(cert, axis=-1)
 
 
@@ -491,6 +552,7 @@ def query_certainty(lm: LocalMap, mc: MapConfig, points: jax.Array) -> jax.Array
 # ----------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("mc",))
 def adjust_map(state: MapState, mc: MapConfig, pose_diff: jax.Array) -> MapState:
     """Elastic map deformation after PGO: move every neural point by the pose
     correction of its (mid-)timestamp and compose its quaternion
@@ -506,15 +568,17 @@ def adjust_map(state: MapState, mc: MapConfig, pose_diff: jax.Array) -> MapState
     T = pose_diff[ts_used]                                      # (cap+1,4,4)
     R, t = T[:, :3, :3], T[:, :3, 3]
     positions = jnp.einsum("nij,nj->ni", R, state.positions) + t
-    positions = positions.at[cap].set(_SENTINEL_POS)
 
     from pin_slam_tpu.ops.transforms import rotmat_to_quat  # local import avoids cycle
     dq = rotmat_to_quat(R)
     orientations = quat_multiply(dq, state.orientations)
-    orientations = orientations.at[cap].set(jnp.array([1.0, 0, 0, 0], jnp.float32))
-    return state._replace(positions=positions, orientations=orientations)
+    attr_rows = state.attr_rows.at[:, C_POS].set(positions)
+    attr_rows = attr_rows.at[:, C_QUAT].set(orientations)
+    attr_rows = attr_rows.at[cap].set(_attr_sentinel_row())
+    return state._replace(attr_rows=attr_rows)
 
 
+@partial(jax.jit, static_argnames=("mc", "downsample_table_size"))
 def recreate_hash(state: MapState, mc: MapConfig, cur_ts: jax.Array,
                   downsample_table_size: int = 1 << 21) -> MapState:
     """Rebuild the voxel hash from current point positions, preferring (per
@@ -537,6 +601,7 @@ def recreate_hash(state: MapState, mc: MapConfig, cur_ts: jax.Array,
     return state._replace(hash_table=hash_table)
 
 
+@partial(jax.jit, static_argnames=("mc", "prune_certainty_thre"))
 def prune_map(state: MapState, mc: MapConfig, travel_dist: jax.Array, cur_ts: jax.Array,
               prune_certainty_thre: float) -> MapState:
     """Deactivate inactive low-certainty points (ref model/neural_points.py:329-353).
@@ -547,8 +612,9 @@ def prune_map(state: MapState, mc: MapConfig, travel_dist: jax.Array, cur_ts: ja
     """
     cap = mc.capacity
     active = jnp.arange(cap + 1, dtype=jnp.int32) < state.count
-    diff_travel = jnp.abs(travel_dist[cur_ts] - travel_dist[state.ts_update])
+    diff_travel = jnp.abs(travel_dist[cur_ts] - state.attr_rows[:, C_TRU])
     inactive = diff_travel > mc.travel_dist_window
     prune = active & inactive & (state.certainties < prune_certainty_thre)
     positions = jnp.where(prune[:, None], _SENTINEL_POS, state.positions)
-    return state._replace(positions=positions)
+    attr_rows = state.attr_rows.at[:, C_POS].set(positions)
+    return state._replace(attr_rows=attr_rows)

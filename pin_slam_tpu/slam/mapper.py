@@ -85,30 +85,51 @@ class MapperConfig:
         )
 
 
+# Packed pool-row layout: the training batch gather touches ONE (P,8) array
+# instead of four/five separate SoA gathers (TPU gathers/scatters pay per row,
+# not per byte).  local_coord stays separate: only BA/pool_retransform read it.
+POOL_DIM = 8
+P_COORD = slice(0, 3)   # world-frame sample coords
+P_LABEL = 3             # sdf label
+P_WEIGHT = 4            # weight (sign flags freespace)
+P_TS = 5                # frame id (f32 value-cast)
+
+
 class PoolState(NamedTuple):
     """Replay data pool (ref utils/mapper.py:71-78), fixed capacity P."""
 
-    coord: jax.Array        # (P,3) world-frame sample coords
-    local_coord: jax.Array  # (P,3) sensor-frame coords (for BA re-transforms)
-    sdf_label: jax.Array    # (P,)
-    weight: jax.Array       # (P,) sign flags freespace
-    ts: jax.Array           # (P,) i32 frame id
-    sem_label: Optional[jax.Array]    # (P,) i32
-    color_label: Optional[jax.Array]  # (P,C)
+    rows: jax.Array         # (P+1, 8) packed [coord3, label, weight, ts, pad2]
+    local_coord: jax.Array  # (P+1,3) sensor-frame coords (for BA re-transforms)
+    sem_label: Optional[jax.Array]    # (P+1,) i32
+    color_label: Optional[jax.Array]  # (P+1,C)
     head: jax.Array         # () i32 ring write position
     fill: jax.Array         # () i32 number of valid entries
     new_idx: jax.Array      # (N_new,) i32 indices of "new-region" samples
     new_count: jax.Array    # () i32
 
+    # read-only views (BA, tests, diagnostics)
+    @property
+    def coord(self) -> jax.Array:
+        return self.rows[:, P_COORD]
+
+    @property
+    def sdf_label(self) -> jax.Array:
+        return self.rows[:, P_LABEL]
+
+    @property
+    def weight(self) -> jax.Array:
+        return self.rows[:, P_WEIGHT]
+
+    @property
+    def ts(self) -> jax.Array:
+        return self.rows[:, P_TS].astype(jnp.int32)
+
 
 def init_pool(mcfg: MapperConfig, color_channel: int = 3) -> PoolState:
     P = mcfg.pool_capacity
     return PoolState(
-        coord=jnp.zeros((P + 1, 3), jnp.float32),
+        rows=jnp.zeros((P + 1, POOL_DIM), jnp.float32),
         local_coord=jnp.zeros((P + 1, 3), jnp.float32),
-        sdf_label=jnp.zeros((P + 1,), jnp.float32),
-        weight=jnp.zeros((P + 1,), jnp.float32),
-        ts=jnp.zeros((P + 1,), jnp.int32),
         sem_label=jnp.zeros((P + 1,), jnp.int32) if mcfg.semantic_on else None,
         color_label=jnp.zeros((P + 1, color_channel), jnp.float32) if mcfg.color_on else None,
         head=jnp.zeros((), jnp.int32),
@@ -134,11 +155,15 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
     offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
     write = jnp.where(valid, (pool.head + offs) % P, P)
 
-    coord = pool.coord.at[write].set(coord_world)
+    n = coord_world.shape[0]
+    new_rows = jnp.zeros((n, POOL_DIM), jnp.float32)
+    new_rows = new_rows.at[:, P_COORD].set(coord_world)
+    new_rows = new_rows.at[:, P_LABEL].set(sdf_label)
+    new_rows = new_rows.at[:, P_WEIGHT].set(weight)
+    new_rows = new_rows.at[:, P_TS].set(
+        jnp.full((n,), 1.0, jnp.float32) * cur_ts.astype(jnp.float32))
+    rows = pool.rows.at[write].set(new_rows)             # ONE packed scatter
     local_coord = pool.local_coord.at[write].set(coord_local)
-    lab = pool.sdf_label.at[write].set(sdf_label)
-    w = pool.weight.at[write].set(weight)
-    ts = pool.ts.at[write].set(jnp.full_like(write, 1) * cur_ts)
     sem = pool.sem_label.at[write].set(sem_label) if pool.sem_label is not None else None
     col = pool.color_label.at[write].set(color_label) if pool.color_label is not None else None
 
@@ -152,8 +177,8 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
     new_pool_idx = jnp.where(valid[new_idx], (pool.head + offs[new_idx]) % P, 0)
     new_count = jnp.minimum(jnp.sum(nm, dtype=jnp.int32), mcfg.new_idx_capacity)
 
-    return pool._replace(coord=coord, local_coord=local_coord, sdf_label=lab, weight=w,
-                         ts=ts, sem_label=sem, color_label=col, head=head, fill=fill,
+    return pool._replace(rows=rows, local_coord=local_coord,
+                         sem_label=sem, color_label=col, head=head, fill=fill,
                          new_idx=new_pool_idx.astype(jnp.int32), new_count=new_count)
 
 
@@ -163,16 +188,13 @@ def pool_filter(pool: PoolState, mcfg: MapperConfig, origin: jax.Array) -> PoolS
     outside ``window_radius`` of the sensor, compact the survivors."""
     P = mcfg.pool_capacity
     in_fill = jnp.arange(P + 1, dtype=jnp.int32) < pool.fill
-    d2 = jnp.sum((pool.coord - origin) ** 2, axis=-1)
+    d2 = jnp.sum((pool.rows[:, P_COORD] - origin) ** 2, axis=-1)
     keep = in_fill & (d2 < mcfg.window_radius**2)
     perm = jnp.nonzero(keep, size=P + 1, fill_value=P)[0].astype(jnp.int32)
     count = jnp.sum(keep, dtype=jnp.int32)
     return pool._replace(
-        coord=pool.coord[perm],
+        rows=pool.rows[perm],
         local_coord=pool.local_coord[perm],
-        sdf_label=pool.sdf_label[perm],
-        weight=pool.weight[perm],
-        ts=pool.ts[perm],
         sem_label=pool.sem_label[perm] if pool.sem_label is not None else None,
         color_label=pool.color_label[perm] if pool.color_label is not None else None,
         head=count % P,
@@ -187,7 +209,7 @@ def pool_retransform(pool: PoolState, poses: jax.Array) -> PoolState:
     used after PGO / BA (ref utils/mapper.py:381-383 ``transform_data_pool``)."""
     T = poses[pool.ts]
     coord = jnp.einsum("nij,nj->ni", T[:, :3, :3], pool.local_coord) + T[:, :3, 3]
-    return pool._replace(coord=coord)
+    return pool._replace(rows=pool.rows.at[:, P_COORD].set(coord))
 
 
 # ----------------------------------------------------------------------
@@ -209,19 +231,28 @@ def make_optimizer(mcfg: MapperConfig):
     return optax.adam(learning_rate=mcfg.lr, b1=0.9, b2=0.99, eps=mcfg.adam_eps)
 
 
-def _sample_batch_indices(key, pool: PoolState, mcfg: MapperConfig, use_new: jax.Array):
-    """Mixed new/history batch (ref utils/mapper.py:323-338): up to bs_new from
-    the newly-observed set, the rest uniform over the pool."""
+def _sample_batch_indices(key, pool: PoolState, mcfg: MapperConfig, use_new: jax.Array,
+                          num_iters: int):
+    """Mixed new/history batches for ALL iterations at once (ref
+    utils/mapper.py:323-338): up to bs_new from the newly-observed set, the
+    rest uniform over the pool.  Returns (num_iters, bs) i32.
+
+    Generated OUTSIDE the training scan: in-loop RNG key slicing/splitting
+    serializes the scan on tiny SMEM scalar kernels (~2 ms/iter measured),
+    while one fused batch of randints is a single cheap vector kernel.
+    """
     k1, k2 = jax.random.split(key)
     fill = jnp.maximum(pool.fill, 1)
-    idx_hist = jax.random.randint(k1, (mcfg.bs,), 0, fill)
+    idx_hist = jax.random.randint(k1, (num_iters, mcfg.bs), 0, fill)
     n_new = jnp.minimum(pool.new_count, mcfg.bs_new_sample) * use_new.astype(jnp.int32)
-    pick = jax.random.randint(k2, (mcfg.bs_new_sample,), 0, jnp.maximum(pool.new_count, 1))
+    pick = jax.random.randint(k2, (num_iters, mcfg.bs_new_sample), 0,
+                              jnp.maximum(pool.new_count, 1))
     idx_new = pool.new_idx[pick]
-    # the last n_new slots of the batch come from the new set
-    slot = jnp.arange(mcfg.bs)
+    # the last n_new slots of each batch come from the new set
+    slot = jnp.arange(mcfg.bs)[None, :]
     take_new = slot >= (mcfg.bs - n_new)
-    new_for_slot = idx_new[jnp.clip(slot - (mcfg.bs - n_new), 0, mcfg.bs_new_sample - 1)]
+    new_for_slot = jnp.take_along_axis(
+        idx_new, jnp.clip(slot - (mcfg.bs - n_new), 0, mcfg.bs_new_sample - 1), axis=1)
     return jnp.where(take_new, new_for_slot, idx_hist)
 
 
@@ -249,14 +280,13 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
     dec_ = mcfg.gradient_decimation
     n_grad = mcfg.bs // dec_
 
-    def one_iter(carry, it_key):
+    def one_iter(carry, idx):
         lm_c, params_c, opt_state_c = carry
-        k_batch, k_drop = jax.random.split(it_key)
-        idx = _sample_batch_indices(k_batch, pool, mcfg, use_new)
-        coord = pool.coord[idx]
-        sdf_label = pool.sdf_label[idx]
-        weight = jnp.abs(pool.weight[idx])
-        ts_batch = pool.ts[idx]
+        batch_rows = pool.rows[idx]                       # ONE packed gather
+        coord = batch_rows[:, P_COORD]
+        sdf_label = batch_rows[:, P_LABEL]
+        weight = jnp.abs(batch_rows[:, P_WEIGHT])
+        ts_batch = batch_rows[:, P_TS].astype(jnp.int32)
         in_pool = idx < pool.fill
 
         # kNN is pure indexing — hoist it out of the differentiated fn
@@ -347,8 +377,9 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
 
         return (lm_c, params_c, opt_state_c), loss
 
-    keys = jax.random.split(key, num_iters)
-    (lm, params, opt_state), loss_hist = jax.lax.scan(one_iter, (lm, params, opt_state), keys)
+    idx_all = _sample_batch_indices(key, pool, mcfg, use_new, num_iters)
+    (lm, params, opt_state), loss_hist = jax.lax.scan(
+        one_iter, (lm, params, opt_state), idx_all)
     return lm, params, opt_state, loss_hist
 
 

@@ -194,6 +194,10 @@ class SlamSystem:
                 color_params=self.color_params if cfg.color_on else None,
                 source_colors=src_colors,
                 after_pgo=jnp.asarray(self.after_pgo))
+            # ONE batched device->host read: on a remote-attached TPU every
+            # individual bool()/float()/np.asarray() is a full ~25 ms round
+            # trip, so the whole TrackResult is fetched in a single transfer
+            res = jax.device_get(res)
             valid_flag = bool(res.valid)
             if valid_flag:
                 T = np.eye(4)
@@ -285,7 +289,8 @@ class SlamSystem:
         self.lm = lm._replace(geo_features=params.features,
                               color_features=params.color_features)
         self.geo_params, self.sem_params, self.color_params = params.geo, params.sem, params.color
-        self.state = npts.assign_local_to_global(self.state, self.lm, self.mc)
+        self.state = npts.assign_local_to_global(self.state, self.lm, self.mc,
+                                                 self._travel)
         info["loss_first"] = loss_first
         info["loss_last"] = loss_last
 
@@ -293,11 +298,10 @@ class SlamSystem:
         self.stage_times.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3,
                                  info.get("pgo_s", 0.0)])
         self.dataset.time_table.append(self.stage_times[-1])
-        # map memory footprint in MB (ref model/neural_points.py:113-123)
-        point_dim = self.config.feature_dim + 3 + 4
-        if self.config.color_on:
-            point_dim += self.config.feature_dim
-        self.memory_footprint_mb.append(int(self.state.count) * point_dim * 4 / 2**20)
+        # map memory footprint in MB (ref model/neural_points.py:113-123).
+        # state.count is kept as a device scalar — int() here would block the
+        # host on the whole frame's device queue; resolved lazily at save time
+        self.memory_footprint_mb.append(self.state.count)
         self.frame_id += 1
         return info
 
@@ -330,7 +334,8 @@ class SlamSystem:
 
         self.lm = self.lm._replace(geo_features=params.features,
                                    color_features=params.color_features)
-        self.state = npts.assign_local_to_global(self.state, self.lm, self.mc)
+        self.state = npts.assign_local_to_global(self.state, self.lm, self.mc,
+                                                 self._travel)
 
         from pin_slam_tpu.ops.transforms import se3_expmap
         dT = np.asarray(se3_expmap(xi), dtype=np.float64)
@@ -478,8 +483,13 @@ class SlamSystem:
         # (time_table.npy / memory_footprint.npy + stacked timing plot,
         # ref utils/tools.py:237-238,637-691)
         if self.memory_footprint_mb:
+            # resolve the per-frame device point counts -> MB now, in one go
+            point_dim = cfg.feature_dim + 3 + 4
+            if cfg.color_on:
+                point_dim += cfg.feature_dim
+            counts = np.asarray([int(c) for c in self.memory_footprint_mb])
             np.save(os.path.join(run_path, "memory_footprint.npy"),
-                    np.asarray(self.memory_footprint_mb))
+                    counts * point_dim * 4 / 2**20)
         if self.stage_times:
             tt = np.asarray(self.stage_times)
             np.save(os.path.join(run_path, "time_table.npy"), tt)

@@ -67,9 +67,9 @@ def sdf_value_and_grad(lm: npts.LocalMap, mc: npts.MapConfig,
     valid = knn.lidx < L
     safe_idx = jnp.where(valid, knn.lidx, L)
 
-    pose = lm.pose_rows[safe_idx]                       # (B,k,8)
-    nbr_pos = pose[..., :3]
-    quat = pose[..., 3:7]
+    pose = lm.attr_rows[safe_idx]                       # (B,k,16) one gather
+    nbr_pos = pose[..., npts.C_POS]
+    quat = pose[..., npts.C_QUAT]
     v_raw = pts[:, None, :] - nbr_pos                   # (B,k,3)
     d2 = jnp.sum(v_raw * v_raw, axis=-1)
     d2 = jnp.where(valid, d2, _INVALID_DIST2)

@@ -113,13 +113,15 @@ def load_implicit_map(path: str, mc) -> Tuple[object, object, object, object]:
     assert n <= mc.capacity, f"saved map ({n} pts) exceeds capacity {mc.capacity}"
 
     state = npts.init_map_state(mc)
+    attr = state.attr_rows
+    attr = attr.at[:n, npts.C_POS].set(blob["positions"])
+    attr = attr.at[:n, npts.C_QUAT].set(blob["orientations"])
+    attr = attr.at[:n, npts.C_CERT].set(blob["certainties"])
+    attr = attr.at[:n, npts.C_TSC].set(blob["ts_create"].astype(np.float32))
+    attr = attr.at[:n, npts.C_TSU].set(blob["ts_update"].astype(np.float32))
     state = state._replace(
-        positions=state.positions.at[:n].set(blob["positions"]),
-        orientations=state.orientations.at[:n].set(blob["orientations"]),
+        attr_rows=attr,
         geo_features=state.geo_features.at[:n].set(blob["geo_features"]),
-        ts_create=state.ts_create.at[:n].set(blob["ts_create"]),
-        ts_update=state.ts_update.at[:n].set(blob["ts_update"]),
-        certainties=state.certainties.at[:n].set(blob["certainties"]),
         count=jnp.asarray(n, jnp.int32),
     )
     if "color_features" in blob and state.color_features is not None:

@@ -241,7 +241,7 @@ def test_query_certainty(rng):
     mc = small_config()
     pts = rng.uniform(-3, 3, size=(200, 3)).astype(np.float32)
     state, lm, travel = make_map(mc, pts)
-    lm = lm._replace(certainties=lm.certainties.at[: int(lm.count)].set(7.0))
+    lm = lm._replace(attr_rows=lm.attr_rows.at[: int(lm.count), npts.C_CERT].set(7.0))
     q = np.asarray(state.positions[:8])
     cert = npts.query_certainty(lm, mc, jnp.asarray(q))
     np.testing.assert_allclose(np.asarray(cert), 7.0, atol=1e-6)

@@ -95,7 +95,7 @@ def parity_setup(ref_modules):
         local_hash_size=1 << 20)
     state = npts.init_map_state(mc)
     state = state._replace(
-        positions=state.positions.at[:count].set(ref_pos),
+        attr_rows=state.attr_rows.at[:count, npts.C_POS].set(ref_pos),
         geo_features=state.geo_features.at[:count].set(feats),
         count=jnp.asarray(count, jnp.int32))
     travel = jnp.zeros((100,), jnp.float32)

@@ -66,9 +66,7 @@ def test_analytic_grad_after_pgo(rng):
     n = lm.orientations.shape[0]
     quats = Rotation.random(n, random_state=3).as_quat()  # xyzw
     wxyz = np.roll(quats, 1, axis=-1).astype(np.float32)
-    lm = lm._replace(orientations=jnp.asarray(wxyz))
-    lm = lm._replace(pose_rows=npts._pack_pose_rows(lm.positions, lm.orientations,
-                                                    lm.certainties))
+    lm = lm._replace(attr_rows=lm.attr_rows.at[:, npts.C_QUAT].set(jnp.asarray(wxyz)))
     sdf_ref, grad_ref = _ad_reference(lm, mc, geo, offsets, jnp.asarray(q),
                                       after_pgo=True)
     sdf, grad, nn = sdf_value_and_grad(lm, mc, geo, 0.055, offsets, jnp.asarray(q),
