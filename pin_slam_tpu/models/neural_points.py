@@ -249,20 +249,33 @@ def init_local_map(mc: MapConfig) -> LocalMap:
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("mc", "downsample_table_size"))
+@partial(jax.jit, static_argnames=("mc", "downsample_table_size", "insert_bucket"))
 def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Array,
                cur_ts: jax.Array, travel_dist: jax.Array,
                rng: Optional[jax.Array] = None,
-               downsample_table_size: int = 1 << 20) -> MapState:
+               downsample_table_size: int = 1 << 20,
+               insert_bucket: Optional[int] = None) -> MapState:
     """Insert new observations (ref model/neural_points.py:205-270 ``update``).
 
     points: (M,3) world-frame candidate points (padded); valid: (M,) bool.
     Pipeline: voxel-downsample (closest-to-center) -> hash -> keep points whose
     voxel slot is empty / collided (>sqrt(3)*voxel away) / stale (travel-dist
-    window exceeded) -> masked scatter-append at ``count + cumsum``.
+    window exceeded) -> compact the survivors to ``insert_bucket`` rows ->
+    append them as ONE contiguous ``dynamic_update_slice`` at ``count``.
+
+    TPU-first: appended rows are contiguous by construction, so the append is
+    a dense slice write, not a scatter (profiled on real TPU: row scatters
+    cost ~60-90 ns/row; the attr+feature scatters over a full sample bucket
+    were ~36 ms/frame).  Only the hash-slot update (narrow, one int32 per
+    inserted point) remains a scatter.  ``insert_bucket`` bounds the inserts
+    per call (survivors past it are dropped — per-frame voxel-downsampled
+    insert counts are far below any sane bucket); once the map has less than
+    one bucket of room, further inserts are dropped whole (the reference
+    grows without bound; our capacity is the budget).
     """
     cap = mc.capacity
     m = points.shape[0]
+    bucket = min(m, cap) if insert_bucket is None else min(insert_bucket, m, cap)
 
     keep = voxel_down_sample_mask(points, valid, mc.voxel_size, downsample_table_size)
 
@@ -281,42 +294,49 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
         | (delta_travel > mc.travel_dist_window)
     )
 
-    # allocate rows: count + prefix-sum over the mask; overflow rows are dropped
-    offs = jnp.cumsum(update_mask.astype(jnp.int32)) - 1
-    new_idx = state.count + offs
-    update_mask = update_mask & (new_idx < cap)
-    write_idx = jnp.where(update_mask, new_idx, cap)     # drops go to sentinel row
+    ins_idx = jnp.nonzero(update_mask, size=bucket, fill_value=0)[0].astype(jnp.int32)
+    n_ins = jnp.sum(update_mask, dtype=jnp.int32)
+    ok = state.count <= cap - bucket                     # whole-bucket room guard
+    placed = (jnp.arange(bucket, dtype=jnp.int32) < n_ins) & ok
+
+    pts_c = points[ins_idx].astype(jnp.float32)          # (bucket, 3)
+    h_c = h[ins_idx]
 
     n_f = mc.feature_dim
     if mc.feature_std > 0 and rng is not None:
-        new_feats = mc.feature_std * jax.random.normal(rng, (m, n_f), dtype=jnp.float32)
+        feats_c = mc.feature_std * jax.random.normal(rng, (bucket, n_f), dtype=jnp.float32)
     else:
-        new_feats = jnp.zeros((m, n_f), dtype=jnp.float32)
+        feats_c = jnp.zeros((bucket, n_f), dtype=jnp.float32)
 
-    ts_f = jnp.full((m,), 1.0, jnp.float32) * cur_ts.astype(jnp.float32)
-    trav_f = jnp.full((m,), 1.0, jnp.float32) * travel_now
-    rows = jnp.zeros((m, ATTR_DIM), jnp.float32)
-    rows = rows.at[:, C_POS].set(points.astype(jnp.float32))
+    ts_f = jnp.full((bucket,), 1.0, jnp.float32) * cur_ts.astype(jnp.float32)
+    trav_f = jnp.full((bucket,), 1.0, jnp.float32) * travel_now
+    rows = jnp.zeros((bucket, ATTR_DIM), jnp.float32)
+    rows = rows.at[:, C_POS].set(pts_c)
     rows = rows.at[:, 3].set(1.0)                        # identity quaternion
     rows = rows.at[:, C_TSC].set(ts_f).at[:, C_TSU].set(ts_f)
     rows = rows.at[:, C_TRC].set(trav_f).at[:, C_TRU].set(trav_f)
 
-    attr_rows = state.attr_rows.at[write_idx].set(rows)  # ONE attribute scatter
-    geo_features = state.geo_features.at[write_idx].set(new_feats)
-    color_features = (state.color_features.at[write_idx].set(new_feats)
-                      if state.color_features is not None else None)
+    # dense read-modify-write append at [start, start+bucket)
+    start = jnp.minimum(state.count, cap - bucket)
+    cur_attr = jax.lax.dynamic_slice(state.attr_rows, (start, 0), (bucket, ATTR_DIM))
+    attr_rows = jax.lax.dynamic_update_slice(
+        state.attr_rows, jnp.where(placed[:, None], rows, cur_attr), (start, 0))
+    cur_geo = jax.lax.dynamic_slice(state.geo_features, (start, 0), (bucket, n_f))
+    geo_features = jax.lax.dynamic_update_slice(
+        state.geo_features, jnp.where(placed[:, None], feats_c, cur_geo), (start, 0))
+    if state.color_features is not None:
+        cur_col = jax.lax.dynamic_slice(state.color_features, (start, 0), (bucket, n_f))
+        color_features = jax.lax.dynamic_update_slice(
+            state.color_features, jnp.where(placed[:, None], feats_c, cur_col), (start, 0))
+    else:
+        color_features = None
 
-    # restore the sentinel row (dropped/padded writes land there)
-    attr_rows = attr_rows.at[cap].set(_attr_sentinel_row())
-    geo_features = geo_features.at[cap].set(0.0)
-    if color_features is not None:
-        color_features = color_features.at[cap].set(0.0)
+    # point the hash slots at the new rows (narrow scatter, inserted rows only)
+    slot = jnp.where(placed, h_c, mc.hash_size)          # dump slot for the rest
+    hash_table = state.hash_table.at[slot].set(
+        jnp.where(placed, start + jnp.arange(bucket, dtype=jnp.int32), cap))
 
-    # point the hash slots at the new rows (only for inserted points)
-    slot = jnp.where(update_mask, h, mc.hash_size)       # dump slot for the rest
-    hash_table = state.hash_table.at[slot].set(write_idx)
-
-    new_count = jnp.minimum(state.count + jnp.sum(update_mask, dtype=jnp.int32), cap)
+    new_count = state.count + jnp.sum(placed, dtype=jnp.int32)
 
     return MapState(attr_rows, geo_features, color_features, new_count, hash_table)
 
@@ -328,9 +348,16 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
 
 @partial(jax.jit, static_argnames=("mc",))
 def build_local_map(state: MapState, mc: MapConfig, origin: jax.Array,
-                    cur_ts: jax.Array, travel_dist: jax.Array) -> LocalMap:
+                    cur_ts: jax.Array, travel_dist: jax.Array,
+                    travel_window: Optional[jax.Array] = None) -> LocalMap:
     """Select points within radius AND travel-dist window into a fixed-size
-    trainable slice (ref model/neural_points.py:272-313 ``reset_local_map``)."""
+    trainable slice (ref model/neural_points.py:272-313 ``reset_local_map``).
+
+    ``travel_window`` (traced scalar) overrides ``mc.travel_dist_window`` —
+    used by loop verification to reconstruct the map roughly AS IT WAS at the
+    loop time, excluding points inserted during the recent (drifted) revisit
+    pass (the reference gets this via its ts-aware ``recreate_hash`` at the
+    loop pose, model/neural_points.py:372-428 + pin_slam.py:187-188)."""
     cap, L = mc.capacity, mc.local_capacity
 
     vec = state.attr_rows[:cap, C_POS] - origin
@@ -343,8 +370,9 @@ def build_local_map(state: MapState, mc: MapConfig, origin: jax.Array,
     else:
         travel_used = state.attr_rows[:cap, C_TRC]       # stored value, no gather
     delta_travel = jnp.abs(travel_now - travel_used)
+    window = mc.travel_dist_window if travel_window is None else travel_window
     active = jnp.arange(cap, dtype=jnp.int32) < state.count
-    mask = active & (dist2 < mc.local_map_radius**2) & (delta_travel < mc.travel_dist_window)
+    mask = active & (dist2 < mc.local_map_radius**2) & (delta_travel < window)
 
     idx = jnp.nonzero(mask, size=L, fill_value=cap)[0].astype(jnp.int32)
     count = jnp.sum(mask, dtype=jnp.int32)

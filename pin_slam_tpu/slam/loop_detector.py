@@ -182,8 +182,15 @@ def detect_local_loop(pgo_poses: np.ndarray, travel_dist: List[float], cur_frame
                       drift_radius: float, min_travel_ratio: float,
                       local_map_radius: float, max_loop_dist: float,
                       loop_candidate_mask: Optional[np.ndarray] = None,
-                      dist_floor: float = 1.0) -> Tuple[int, float]:
+                      dist_floor: float = 1.0,
+                      accept_divisor: float = 1.0) -> Tuple[int, float]:
     """Nearest past pose within the drift radius (ref utils/loop_detector.py:309-319).
+
+    ``accept_divisor`` tightens the acceptance DISTANCE after repeated
+    verification failures (the reference divides its threshold by the failure
+    count, utils/loop_detector.py:312) — it must not shrink the searchable
+    past (the travel prefilter), or failures near the end of a short loop can
+    lock every candidate out permanently.
 
     Returns (loop_frame_id, distance) or (-1, inf).
     """
@@ -200,7 +207,7 @@ def detect_local_loop(pgo_poses: np.ndarray, travel_dist: List[float], cur_frame
         d = float(np.linalg.norm(pgo_poses[fid][:3, 3] - cur_xyz))
         if d < best_d:
             best, best_d = fid, d
-    thresh = max(drift_radius, dist_floor)
+    thresh = max(drift_radius, dist_floor) / max(accept_divisor, 1.0)
     if best_d < min(thresh, max_loop_dist):
         return best, best_d
     return -1, np.inf

@@ -81,6 +81,11 @@ class SlamSystem:
         self.cur_pose = np.eye(4)      # world <- sensor, f64 host
         self.lm_origin64 = np.zeros(3)
         self.frame_id = 0
+        # PIN_SLAM_SYNC_STAGES=1 blocks on the device after every stage so the
+        # time table attributes device time to the right stage (JAX dispatch is
+        # async; without this, a stage's compute lands in the next blocking
+        # read).  Off by default: syncing serializes the host/device pipeline.
+        self._sync_stages = os.environ.get("PIN_SLAM_SYNC_STAGES", "0") == "1"
         self.stage_times = []          # [preprocess, odometry, map-prep, train, pgo]
         self.memory_footprint_mb = []  # neural-point map MB per frame
 
@@ -140,7 +145,9 @@ class SlamSystem:
                 < cfg.surface_sample_range_m * cfg.map_surface_ratio)
             state = npts.map_insert(state, mc, coord_world, surf_mask, frame_id,
                                     travel,
-                                    downsample_table_size=cfg.downsample_hash_size)
+                                    downsample_table_size=cfg.downsample_hash_size,
+                                    insert_bucket=min(cfg.frame_bucket,
+                                                      coord_world.shape[0]))
             lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
             new_mask = mp.compute_new_sample_mask(lm, mc, mcfg, coord_world,
                                                   batch.sdf_label, batch.valid)
@@ -248,6 +255,8 @@ class SlamSystem:
 
         if (self.frame_id + 1) % cfg.pool_filter_freq == 0:
             self.pool = mp.pool_filter(self.pool, self.mcfg, pose_t)
+        if self._sync_stages:
+            jax.block_until_ready((self.state.count, self.lm.count, self.pool.head))
 
         # ---------------- IV-b': sliding-window bundle adjustment ------------
         if (cfg.ba_freq_frame > 0 and self.frame_id > cfg.ba_frame // 2
@@ -293,6 +302,8 @@ class SlamSystem:
                                                  self._travel)
         info["loss_first"] = loss_first
         info["loss_last"] = loss_last
+        if self._sync_stages:
+            jax.block_until_ready(params.geo)
 
         t4 = time.perf_counter()
         self.stage_times.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3,
@@ -382,14 +393,16 @@ class SlamSystem:
         # local loop first (pose distance within drift radius), then global
         # scan-context (ref pin_slam.py:176-178)
         # repeated verification failures make local-loop acceptance stricter
-        # (ref utils/loop_detector.py:312, pin_slam.py:220-226); the penalty is
-        # soft and capped so one bad candidate can't lock out real loops forever
+        # (ref utils/loop_detector.py:312, pin_slam.py:220-226); the penalty
+        # tightens the acceptance distance and is capped so one bad candidate
+        # can't lock out real loops forever
         penalty = 1.0 + 0.3 * min(self.loop_reg_failed_count, 4)
         loop_id, _dist = ld.detect_local_loop(
             poses, self.dataset.travel_dist, fid, drift,
-            cfg.min_loop_travel_dist_ratio * penalty,
+            cfg.min_loop_travel_dist_ratio,
             cfg.local_map_radius, cfg.max_loop_dist,
-            dist_floor=getattr(cfg, "local_loop_dist_floor", 1.0))
+            dist_floor=getattr(cfg, "local_loop_dist_floor", 1.0),
+            accept_divisor=penalty)
         yaw = 0.0
         if loop_id < 0 and self.loop_mgr is not None:
             loop_id, cosdist, yaw = self.loop_mgr.detect_global_loop(
@@ -407,9 +420,18 @@ class SlamSystem:
         guess[:3, :3] = loop_pose[:3, :3] @ R_yaw
 
         origin_loop = loop_pose[:3, 3].copy()
+        # verify against the map roughly AS IT WAS at loop time: points
+        # inserted during the recent (drifted) revisit pass would blur the
+        # surface into two sheets and stall the registration between them, so
+        # the travel window is tightened to half the travel gap
+        # (ref pin_slam.py:187-188 recreate_hash at the loop pose)
+        travel_gap = (self.dataset.travel_dist[fid]
+                      - self.dataset.travel_dist[loop_id])
+        tw = np.float32(min(self.mc.travel_dist_window,
+                            max(0.5 * travel_gap, 1e-3)))
         lm_loop = npts.build_local_map(
             self.state, self.mc, jnp.asarray(origin_loop.astype(np.float32)),
-            jnp.int32(loop_id), self._travel)
+            jnp.int32(loop_id), self._travel, travel_window=jnp.asarray(tw))
         source, src_valid = self.last_source
         res = trk.track_frame(
             lm_loop, self.mc, self.tc_loop, self.geo_params, self.sdf_scale,

@@ -140,6 +140,8 @@ def test_pool_ring_overwrite(rng):
         pool = mp.pool_append(pool, mcfg, jnp.asarray(pts), jnp.asarray(pts),
                               jnp.zeros(200), jnp.ones(200), jnp.ones(200, dtype=bool),
                               jnp.int32(ts), jnp.zeros(200, dtype=bool))
-    assert int(pool.fill) == 256  # capped
-    ts_vals = np.asarray(pool.ts[:256])
-    assert (ts_vals >= 1).sum() > 200  # old entries overwritten
+    # dense-slice ring: a frame bucket never wraps — the head resets to 0 when
+    # the bucket would cross the end, overwriting the oldest rows
+    assert int(pool.fill) == 200
+    ts_vals = np.asarray(pool.ts[: int(pool.fill)])
+    assert (ts_vals == 2).all()  # frame 2 overwrote frames 0 and 1
