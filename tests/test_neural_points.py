@@ -79,8 +79,9 @@ def test_local_map_radius_filter(rng):
     gpos = np.asarray(state.positions[: int(state.count)])
     expect = (np.linalg.norm(gpos, axis=1) < 5.0).sum()
     assert count_local == expect
-    # global2local roundtrip
-    g2l = np.asarray(lm.global2local)
+    # member-mask/rank roundtrip (the rank of a member row in member_mask IS
+    # its local row — assign_local_to_global relies on this)
+    g2l = npts.compute_global2local(lm)
     lidx = np.asarray(lm.indices)
     for li in range(count_local):
         assert g2l[lidx[li]] == li
@@ -186,8 +187,8 @@ def test_assign_local_to_global_roundtrip(rng):
     state, lm, travel = make_map(mc, pts)
     newf = jnp.asarray(rng.normal(size=lm.geo_features.shape).astype(np.float32))
     lm = lm._replace(geo_features=newf)
+    count = int(state.count)  # read before the call: assign donates its input
     state2 = npts.assign_local_to_global(state, lm, mc)
-    count = int(state.count)
     lidx = np.asarray(lm.indices[: int(lm.count)])
     np.testing.assert_allclose(np.asarray(state2.geo_features[lidx]),
                                np.asarray(newf[: int(lm.count)]), atol=0)
@@ -245,3 +246,21 @@ def test_query_certainty(rng):
     q = np.asarray(state.positions[:8])
     cert = npts.query_certainty(lm, mc, jnp.asarray(q))
     np.testing.assert_allclose(np.asarray(cert), 7.0, atol=1e-6)
+
+
+def test_approx_max_k_exact_for_knn_shapes(rng):
+    """knn_search selects top-6 via lax.approx_max_k (TPU PartialReduce, ~3x
+    faster than lax.top_k at (B,33) measured on real hardware).  Guard that it
+    is EXACT at every candidate width the templates produce, including
+    adversarial orderings (sorted, reverse-sorted, heavy duplicates)."""
+    import jax
+
+    for width in (27, 33, 81, 128):
+        base = rng.standard_normal((256, width)).astype(np.float32)
+        cases = [base, np.sort(base, axis=1), -np.sort(base, axis=1),
+                 np.round(base)]  # duplicates
+        for d2 in cases:
+            va, _ = jax.lax.approx_max_k(jnp.asarray(-d2), 6)
+            vt, _ = jax.lax.top_k(jnp.asarray(-d2), 6)
+            np.testing.assert_allclose(np.sort(np.asarray(va), axis=1),
+                                       np.sort(np.asarray(vt), axis=1))

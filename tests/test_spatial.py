@@ -186,7 +186,7 @@ def test_train_step_learns_and_matches_decoder_grads(setup):
     np.testing.assert_allclose(float(lsp), float(l1), rtol=1e-5)
     g2 = np.asarray(jax.device_get(g2))
     state1, mc1 = setup["state1"], setup["mc"]
-    lm_g2l = np.asarray(setup["lm1"].global2local)
+    lm_g2l = npts.compute_global2local(setup["lm1"])
     g1f = np.asarray(g1_feat)
     sstate_h = jax.device_get(setup["sstate"])
     for s in range(4):
