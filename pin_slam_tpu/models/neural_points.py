@@ -60,6 +60,12 @@ class MapConfig:
     #                               False: decode each neighbor, blend SDFs
     #                               (ref utils/config.py:89, neural_points.py:660-665)
     local_hash_size: int = 1 << 22  # slots of the per-frame packed local hash
+    # positional encoding of the offset vector (ref model/neural_points.py:610-611,
+    # 706-763; off in every shipped reference profile)
+    pos_encoding_band: int = 0
+    pos_encoding_freq: float = 200.0
+    pos_encoding_base: float = 2.0
+    use_gaussian_pe: bool = False
 
     @property
     def assign_span(self) -> int:
@@ -88,6 +94,10 @@ class MapConfig:
             use_mid_ts=cfg.use_mid_ts,
             layer_norm_on=cfg.layer_norm_on,
             weighted_first=cfg.weighted_first,
+            pos_encoding_band=cfg.pos_encoding_band,
+            pos_encoding_freq=float(cfg.pos_encoding_freq),
+            pos_encoding_base=float(cfg.pos_encoding_base),
+            use_gaussian_pe=cfg.use_gaussian_pe,
             # measured on real TPU: random row-gathers run ~2.3x faster while
             # the table stays under ~16 MB (cache-resident); 2^20 slots x 16 B
             # sits exactly at that cliff, so the local accel hash is capped
@@ -607,7 +617,13 @@ def interpolate_features(lm: LocalMap, mc: MapConfig, points: jax.Array,
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     w = jnp.where(valid, w, 0.0)
 
-    geo_vec = jnp.concatenate([feats, vec], axis=-1)            # (B,k,F+3)
+    if mc.pos_encoding_band > 0:
+        # encode the offset vector (ref model/neural_points.py:610-611)
+        from pin_slam_tpu.ops.encodings import positional_encode
+        vec = positional_encode(vec, mc.pos_encoding_band, mc.pos_encoding_freq,
+                                mc.pos_encoding_base, mc.use_gaussian_pe)
+
+    geo_vec = jnp.concatenate([feats, vec], axis=-1)            # (B,k,F+P)
     if mc.weighted_first:
         geo_out = jnp.sum(geo_vec * w[..., None], axis=1)       # (B,F+3)
     else:

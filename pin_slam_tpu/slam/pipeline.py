@@ -60,7 +60,9 @@ class SlamSystem:
 
         key = jax.random.PRNGKey(config.seed)
         self.key, kg, ks, kc = jax.random.split(key, 4)
-        in_dim = config.feature_dim + config.pos_input_dim
+        from pin_slam_tpu.ops.encodings import encoded_dim
+        in_dim = config.feature_dim + encoded_dim(
+            config.pos_input_dim, config.pos_encoding_band, config.use_gaussian_pe)
         self.geo_params = dec.init_decoder(kg, in_dim, config.geo_mlp_hidden_dim,
                                            config.geo_mlp_level, 1, config.mlp_bias_on)
         self.sem_params = (dec.init_decoder(ks, in_dim, config.sem_mlp_hidden_dim,

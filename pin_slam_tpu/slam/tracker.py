@@ -155,7 +155,8 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
 
     # the hand-derived gradient (tracker_grad.py) replaces jax.vjp on the
     # geometry-only weighted-first path — same numbers, fewer scatter ops
-    use_analytic = mc.weighted_first and not color_on
+    # (positional encoding changes d(vec)/d(p), so that path falls back to vjp)
+    use_analytic = mc.weighted_first and not color_on and mc.pos_encoding_band == 0
 
     def one_step(R, t):
         cur = source @ R.T + t                       # shifted frame

@@ -62,6 +62,7 @@ def sdf_value_and_grad(lm: npts.LocalMap, mc: npts.MapConfig,
     decoder.sdf + jax.grad exactly.
     """
     assert mc.weighted_first, "analytic gradient implemented for weighted_first"
+    assert mc.pos_encoding_band == 0, "positional encoding needs the vjp path"
     L, eps = mc.local_capacity, mc.idw_eps
     knn = npts.knn_search(lm, mc, pts, offsets)
     valid = knn.lidx < L
