@@ -112,7 +112,8 @@ class SlamSystem:
         @jax.jit
         def source_prep(points, valid, colors):
             """Coarse voxel downsample of the registration source cloud
-            (ref utils/config.py:source_vox_down_m), gathered to a fixed bucket."""
+            (ref utils/config.py:source_vox_down_m), gathered to a fixed bucket,
+            plus optional PCA normal estimation (cfg.estimate_normal)."""
             keep = voxel_down_sample_mask(points, valid, cfg.source_vox_down_m,
                                           cfg.downsample_hash_size)
             idx = jnp.nonzero(keep, size=cfg.source_bucket, fill_value=0)[0]
@@ -121,7 +122,14 @@ class SlamSystem:
             # them invalid so they can't inflate valid_count / skew the solve
             n_keep = jnp.sum(keep, dtype=jnp.int32)
             src_valid = jnp.arange(cfg.source_bucket, dtype=jnp.int32) < n_keep
-            return points[idx], src_valid, col
+            src = points[idx]
+            if cfg.estimate_normal:
+                from pin_slam_tpu.ops.normals import estimate_normals
+                nrm, nrm_valid = estimate_normals(
+                    src, src_valid, max(cfg.source_vox_down_m, 1e-3))
+            else:
+                nrm, nrm_valid = None, None
+            return src, src_valid, col, nrm, nrm_valid
 
         @jax.jit
         def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
@@ -194,14 +202,17 @@ class SlamSystem:
 
             frame_colors = (jnp.asarray(frame.colors)
                             if frame.colors is not None and cfg.color_on else None)
-            source, src_valid, src_colors = self._source_prep(points, valid, frame_colors)
-            self.last_source = (source, src_valid)
+            source, src_valid, src_colors, src_normals, src_nrm_valid = \
+                self._source_prep(points, valid, frame_colors)
+            self.last_source = (source, src_valid, src_normals, src_nrm_valid)
             res = trk.track_frame(
                 self.lm, self.mc, self.tc, self.geo_params, self.sdf_scale,
                 self.offsets, source, src_valid,
                 jnp.asarray(R_init), jnp.asarray(t_init),
                 color_params=self.color_params if cfg.color_on else None,
                 source_colors=src_colors,
+                source_normals=src_normals,
+                source_normal_valid=src_nrm_valid,
                 after_pgo=jnp.asarray(self.after_pgo))
             # ONE batched device->host read: on a remote-attached TPU every
             # individual bool()/float()/np.asarray() is a full ~25 ms round
@@ -434,12 +445,14 @@ class SlamSystem:
         lm_loop = npts.build_local_map(
             self.state, self.mc, jnp.asarray(origin_loop.astype(np.float32)),
             jnp.int32(loop_id), self._travel, travel_window=jnp.asarray(tw))
-        source, src_valid = self.last_source
+        source, src_valid, src_normals, src_nrm_valid = self.last_source
         res = trk.track_frame(
             lm_loop, self.mc, self.tc_loop, self.geo_params, self.sdf_scale,
             self.offsets, source, src_valid,
             jnp.asarray(guess[:3, :3].astype(np.float32)),
             jnp.asarray((guess[:3, 3] - origin_loop).astype(np.float32)),
+            source_normals=src_normals,
+            source_normal_valid=src_nrm_valid,
             after_pgo=jnp.asarray(self.after_pgo))
 
         if not bool(res.valid):

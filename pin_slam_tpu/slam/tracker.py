@@ -116,6 +116,8 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
                 source_sdf: Optional[jax.Array] = None,
                 color_params: Optional[dec.DecoderParams] = None,
                 source_colors: Optional[jax.Array] = None,
+                source_normals: Optional[jax.Array] = None,
+                source_normal_valid: Optional[jax.Array] = None,
                 after_pgo=False) -> TrackResult:
     """Register ``source`` (sensor-frame, padded) against the implicit map.
 
@@ -185,6 +187,16 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         residual = sdf_pred - source_sdf
         grad_anomaly = grad_norm - 1.0
         w = _gm_weight(tc.GM_dist, residual) * _gm_weight(tc.GM_grad, grad_anomaly)
+        if source_normals is not None:
+            # normal-consistency weight 0.5 + |n . grad_unit|
+            # (ref utils/tracker.py:331-359); normals are sensor-frame, so
+            # rotate with the current pose estimate
+            n_w = source_normals @ R.T
+            grad_unit = grad / jnp.maximum(grad_norm, 1e-12)[:, None]
+            w_normal = 0.5 + jnp.abs(jnp.sum(n_w * grad_unit, axis=-1))
+            if source_normal_valid is not None:
+                w_normal = jnp.where(source_normal_valid, w_normal, 1.0)
+            w = w * w_normal
         if color_on and not tc.photometric_on and tc.consist_weight_on:
             # color (intensity) consistency weight (ref utils/tracker.py:382-386)
             w = w * jnp.exp(-jnp.abs(intensity - src_intensity))
