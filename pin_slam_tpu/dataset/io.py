@@ -174,6 +174,126 @@ def read_pcd(path: str) -> Dict[str, np.ndarray]:
         return {fld: np.ascontiguousarray(data[fld]) for fld in fields}
 
 
+# LAS point-record layouts (ASPRS LAS 1.0-1.4, uncompressed).  Formats 0-5
+# share the 20-byte core; 6-10 the 30-byte core.  Only the fields this
+# pipeline consumes (xyz / intensity / rgb / gps time) are named.
+_LAS_CORE_05 = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+                ("flags", "u1"), ("cls", "u1"), ("scan_angle", "i1"),
+                ("user", "u1"), ("src", "<u2")]
+_LAS_CORE_610 = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+                 ("ret", "u1"), ("flags", "u1"), ("cls", "u1"), ("user", "u1"),
+                 ("scan_angle", "<i2"), ("src", "<u2"), ("gps", "<f8")]
+_LAS_RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_LAS_POINT_DTYPES = {
+    0: _LAS_CORE_05,
+    1: _LAS_CORE_05 + [("gps", "<f8")],
+    2: _LAS_CORE_05 + _LAS_RGB,
+    3: _LAS_CORE_05 + [("gps", "<f8")] + _LAS_RGB,
+    6: _LAS_CORE_610,
+    7: _LAS_CORE_610 + _LAS_RGB,
+    8: _LAS_CORE_610 + _LAS_RGB + [("nir", "<u2")],
+}
+
+
+def read_las(path: str) -> Dict[str, np.ndarray]:
+    """Minimal pure-numpy ASPRS LAS reader (uncompressed; point formats 0-3,
+    6-8) — replaces the reference's laspy dependency
+    (ref dataset/slam_dataset.py:675-687).  Returns at least x/y/z (f64 world
+    units) and intensity; red/green/blue and gps time when the format has them.
+    """
+    with open(path, "rb") as f:
+        header = f.read(375)
+        if header[:4] != b"LASF":
+            raise ValueError(f"{path}: not a LAS file (bad signature)")
+        offset_to_points = int(np.frombuffer(header[96:100], "<u4")[0])
+        fmt = header[104] & 0x3F  # high bits flag LAZ compression
+        if header[104] & 0xC0:
+            raise ValueError(f"{path}: LAZ-compressed LAS is not supported")
+        rec_len = int(np.frombuffer(header[105:107], "<u2")[0])
+        n_points = int(np.frombuffer(header[107:111], "<u4")[0])
+        ver = (header[24], header[25])
+        if n_points == 0 and ver >= (1, 4) and len(header) >= 255:
+            n_points = int(np.frombuffer(header[247:255], "<u8")[0])
+        scale = np.frombuffer(header[131:155], "<f8").copy()
+        off = np.frombuffer(header[155:179], "<f8").copy()
+        if fmt not in _LAS_POINT_DTYPES:
+            raise ValueError(f"{path}: unsupported LAS point format {fmt}")
+        base = np.dtype(_LAS_POINT_DTYPES[fmt])
+        if rec_len < base.itemsize:
+            raise ValueError(f"{path}: record length {rec_len} < expected "
+                             f"{base.itemsize} for format {fmt}")
+        fields = dict(_LAS_POINT_DTYPES[fmt])
+        if rec_len > base.itemsize:  # trailing extra bytes per record
+            fields["_extra"] = (f"V{rec_len - base.itemsize}",)
+        dt = np.dtype([(k, *(v if isinstance(v, tuple) else (v,)))
+                       for k, v in fields.items()])
+        f.seek(offset_to_points)
+        data = np.frombuffer(f.read(dt.itemsize * n_points), dtype=dt,
+                             count=n_points)
+    out = {
+        "x": data["X"] * scale[0] + off[0],
+        "y": data["Y"] * scale[1] + off[1],
+        "z": data["Z"] * scale[2] + off[2],
+        "intensity": data["intensity"].astype(np.float32),
+    }
+    if "red" in dt.names:
+        for c in ("red", "green", "blue"):
+            out[c] = data[c].astype(np.float32) / 65535.0
+    if "gps" in dt.names:
+        out["gps_time"] = data["gps"].copy()
+    return out
+
+
+def write_las(path: str, points: np.ndarray, intensity: Optional[np.ndarray] = None,
+              colors: Optional[np.ndarray] = None,
+              gps_time: Optional[np.ndarray] = None,
+              scale: float = 1e-4) -> None:
+    """Minimal LAS 1.2 writer (point format picked from the given attributes).
+    Exists so map exports are consumable by LAS tooling and to round-trip-test
+    ``read_las`` without laspy."""
+    points = np.asarray(points, np.float64)
+    n = points.shape[0]
+    fmt = (3 if (colors is not None and gps_time is not None) else
+           2 if colors is not None else 1 if gps_time is not None else 0)
+    dt = np.dtype(_LAS_POINT_DTYPES[fmt])
+    off = points.min(axis=0) if n else np.zeros(3)
+    rec = np.zeros(n, dtype=dt)
+    q = np.rint((points - off) / scale).astype(np.int64)
+    rec["X"], rec["Y"], rec["Z"] = (q[:, 0].astype(np.int32),
+                                    q[:, 1].astype(np.int32),
+                                    q[:, 2].astype(np.int32))
+    if intensity is not None:
+        rec["intensity"] = np.clip(np.asarray(intensity).reshape(-1), 0, 65535
+                                   ).astype(np.uint16)
+    if colors is not None:
+        c = np.asarray(colors, np.float64)
+        if c.max(initial=0.0) <= 1.0:
+            c = c * 65535.0
+        rec["red"], rec["green"], rec["blue"] = (
+            c[:, 0].astype(np.uint16), c[:, 1].astype(np.uint16),
+            c[:, 2].astype(np.uint16))
+    if gps_time is not None:
+        rec["gps"] = np.asarray(gps_time, np.float64)
+
+    header = bytearray(227)
+    header[0:4] = b"LASF"
+    header[24], header[25] = 1, 2
+    header[26:30] = b"PIN "
+    header[58:62] = b"PIN "
+    header[94:96] = np.uint16(227).tobytes()
+    header[96:100] = np.uint32(227).tobytes()
+    header[104] = fmt
+    header[105:107] = np.uint16(dt.itemsize).tobytes()
+    header[107:111] = np.uint32(n).tobytes()
+    header[131:155] = np.full(3, scale, np.float64).tobytes()
+    header[155:179] = off.astype(np.float64).tobytes()
+    mins, maxs = (points.min(axis=0), points.max(axis=0)) if n else (off, off)
+    header[179:227] = np.stack([maxs, mins], axis=1).reshape(-1).tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(rec.tobytes())
+
+
 def read_point_cloud(path: str) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
     """Dispatching reader (ref dataset/slam_dataset.py:631-693).
 
@@ -207,6 +327,17 @@ def read_point_cloud(path: str) -> Tuple[np.ndarray, Optional[np.ndarray], Optio
         pts = np.stack([d["x"], d["y"], d["z"]], axis=1).astype(np.float32)
         color = d["intensity"].astype(np.float32)[:, None] if "intensity" in d else None
         ts = d["t"].astype(np.float64) if "t" in d else None
+        return pts, color, ts
+    if ext == ".las":
+        d = read_las(path)
+        pts = np.stack([d["x"], d["y"], d["z"]], axis=1).astype(np.float32)
+        if "red" in d:
+            color = np.stack([d["red"], d["green"], d["blue"]], axis=1).astype(np.float32)
+        else:
+            color = d["intensity"][:, None]
+            if color.max(initial=0.0) > 1.0:
+                color = color / max(color.max(), 1.0)
+        ts = d.get("gps_time")
         return pts, color, ts
     raise ValueError(f"unsupported point cloud format: {path}")
 

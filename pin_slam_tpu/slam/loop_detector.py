@@ -178,6 +178,48 @@ class NeuralPointMapContextManager:
         return self.frame_ids[loop_hist_idx], float(dist[best]), yaw
 
 
+class GTLoopManager:
+    """GT-pose-derived loop oracle — debugging fixture only
+    (ref utils/loop_detector.py:258-307; gated by ``pgo: gt_loop``,
+    ref utils/config.py:262 "only used for debugging")."""
+
+    EXCLUDE_RECENT = 30
+
+    def __init__(self, max_loop_dist: float, min_travel_dist_ratio: float = 2.5):
+        self.max_loop_dist = max_loop_dist
+        self.min_travel_dist_ratio = min_travel_dist_ratio
+        self.gt_poses: List[np.ndarray] = []
+        self.travel_dist: List[float] = []
+
+    def add_node(self, frame_id: int, gt_pose: np.ndarray) -> None:
+        assert frame_id == len(self.gt_poses), "nodes must be added in order"
+        self.gt_poses.append(np.asarray(gt_pose, np.float64))
+        if frame_id == 0:
+            self.travel_dist.append(0.0)
+        else:
+            step = float(np.linalg.norm(gt_pose[:3, 3] - self.gt_poses[-2][:3, 3]))
+            self.travel_dist.append(self.travel_dist[-1] + step)
+
+    def detect_loop(self) -> Tuple[int, float, Optional[np.ndarray]]:
+        """Returns (loop_frame_id, distance, T_loop<-cur) or (-1, inf, None)."""
+        cur = len(self.gt_poses) - 1
+        recent_cut = cur - self.EXCLUDE_RECENT
+        if recent_cut <= 0:
+            return -1, np.inf, None
+        past = np.stack(self.gt_poses[:recent_cut])
+        d = np.linalg.norm(past[:, :3, 3] - self.gt_poses[cur][:3, 3], axis=1)
+        td = self.travel_dist[cur] - np.asarray(self.travel_dist[:recent_cut])
+        cand = (td > self.min_travel_dist_ratio * d) & (td > 30.0)
+        if not cand.any():
+            return -1, np.inf, None
+        idx = np.where(cand)[0]
+        best = idx[np.argmin(d[idx])]
+        if d[best] >= self.max_loop_dist:
+            return -1, np.inf, None
+        loop_trans = np.linalg.inv(self.gt_poses[best]) @ self.gt_poses[cur]
+        return int(best), float(d[best]), loop_trans
+
+
 def detect_local_loop(pgo_poses: np.ndarray, travel_dist: List[float], cur_frame: int,
                       drift_radius: float, min_travel_ratio: float,
                       local_map_radius: float, max_loop_dist: float,

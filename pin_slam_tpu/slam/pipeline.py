@@ -95,6 +95,9 @@ class SlamSystem:
         self.pgm = pgo_mod.PoseGraphManager(config) if config.pgo_on else None
         self.loop_mgr = (ld.NeuralPointMapContextManager(ld.LoopConfig.from_config(config))
                          if config.pgo_on and config.global_loop_on else None)
+        # GT-pose loop oracle, debugging only (ref utils/config.py:262)
+        self.gt_loop_mgr = (ld.GTLoopManager(config.max_loop_dist)
+                            if config.pgo_on and config.use_gt_loop else None)
         self.tc_loop = trk.TrackerConfig.from_config(config, loop_reg=True)
         self.loop_reg_failed_count = 0
         self.last_source = None        # kept for loop verification
@@ -399,6 +402,9 @@ class SlamSystem:
             valid = np.arange(pos.shape[0]) < int(self.lm.count)
             self.loop_mgr.add_node(fid, local_pts, valid)
 
+        if self.gt_loop_mgr is not None and self.dataset.gt_pose_provided:
+            self.gt_loop_mgr.add_node(fid, self.dataset.gt_poses[fid])
+
         if fid == 0 or fid % max(cfg.pgo_freq, 1) != 0 or self.last_source is None:
             return
 
@@ -409,28 +415,45 @@ class SlamSystem:
         # (ref utils/loop_detector.py:312, pin_slam.py:220-226); the penalty
         # tightens the acceptance distance and is capped so one bad candidate
         # can't lock out real loops forever
-        penalty = 1.0 + 0.3 * min(self.loop_reg_failed_count, 4)
-        loop_id, _dist = ld.detect_local_loop(
-            poses, self.dataset.travel_dist, fid, drift,
-            cfg.min_loop_travel_dist_ratio,
-            cfg.local_map_radius, cfg.max_loop_dist,
-            dist_floor=getattr(cfg, "local_loop_dist_floor", 1.0),
-            accept_divisor=penalty)
-        yaw = 0.0
-        if loop_id < 0 and self.loop_mgr is not None:
-            loop_id, cosdist, yaw = self.loop_mgr.detect_global_loop(
-                drift, self.dataset.travel_dist, fid)
+        gt_trans = None
+        if self.gt_loop_mgr is not None:
+            # GT loop oracle short-circuits detection (debug fixture,
+            # ref pin_slam.py:165-168)
+            loop_id, _dist, gt_trans = self.gt_loop_mgr.detect_loop()
+            yaw = 0.0
+        else:
+            penalty = 1.0 + 0.3 * min(self.loop_reg_failed_count, 4)
+            loop_id, _dist = ld.detect_local_loop(
+                poses, self.dataset.travel_dist, fid, drift,
+                cfg.min_loop_travel_dist_ratio,
+                cfg.local_map_radius, cfg.max_loop_dist,
+                dist_floor=getattr(cfg, "local_loop_dist_floor", 1.0),
+                accept_divisor=penalty)
+            yaw = 0.0
+            if loop_id < 0 and self.loop_mgr is not None:
+                loop_id, cosdist, yaw = self.loop_mgr.detect_global_loop(
+                    drift, self.dataset.travel_dist, fid)
         if loop_id < 0:
             return
+        # delta-z sanity check for multi-floor ambiguity (ref pin_slam.py:180-183)
+        if cfg.loop_z_check_on:
+            rel_guess = np_se3_inverse(poses[loop_id]) @ (
+                poses[loop_id] @ gt_trans if gt_trans is not None else cur)
+            if abs(rel_guess[2, 3]) > cfg.voxel_size_m * 4.0:
+                info["loop_z_rejected"] = True
+                return
         info["loop_candidate"] = loop_id
 
         # ---- verification: register the current scan against the map around
         # the loop pose (ref pin_slam.py:187-188)
         loop_pose = poses[loop_id]
-        cz, sz = np.cos(yaw), np.sin(yaw)
-        R_yaw = np.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
-        guess = loop_pose.copy()
-        guess[:3, :3] = loop_pose[:3, :3] @ R_yaw
+        if gt_trans is not None:
+            guess = loop_pose @ gt_trans                # T_w<-c = T_w<-l @ T_l<-c
+        else:
+            cz, sz = np.cos(yaw), np.sin(yaw)
+            R_yaw = np.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+            guess = loop_pose.copy()
+            guess[:3, :3] = loop_pose[:3, :3] @ R_yaw
 
         origin_loop = loop_pose[:3, 3].copy()
         # verify against the map roughly AS IT WAS at loop time: points

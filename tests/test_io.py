@@ -95,3 +95,41 @@ def test_semantic_labels(tmp_path):
     raw.tofile(p)
     lab = pio.read_semantic_labels(str(p))
     np.testing.assert_array_equal(lab, [1, 2, 42])
+
+
+def test_las_roundtrip(tmp_path, rng):
+    pts = (rng.normal(size=(500, 3)) * 50.0).astype(np.float64)
+    intensity = rng.integers(0, 1000, size=500).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    gps = np.sort(rng.uniform(0, 10, size=500))
+
+    # format 3 (gps + rgb)
+    p = str(tmp_path / "cloud.las")
+    pio.write_las(p, pts, intensity=intensity, colors=colors, gps_time=gps)
+    d = pio.read_las(p)
+    xyz = np.stack([d["x"], d["y"], d["z"]], axis=1)
+    np.testing.assert_allclose(xyz, pts, atol=1e-4)  # quantized at 1e-4 scale
+    np.testing.assert_allclose(d["intensity"], intensity)
+    np.testing.assert_allclose(
+        np.stack([d["red"], d["green"], d["blue"]], axis=1), colors, atol=1 / 65535)
+    np.testing.assert_allclose(d["gps_time"], gps)
+
+    # format 0 (bare) through the dispatching reader
+    p0 = str(tmp_path / "bare.las")
+    pio.write_las(p0, pts, intensity=intensity)
+    out, color, ts = pio.read_point_cloud(p0)
+    np.testing.assert_allclose(out, pts.astype(np.float32), atol=1e-3)
+    assert color.shape == (500, 1) and ts is None
+
+
+def test_las_rejects_laz_and_bad_signature(tmp_path):
+    p = str(tmp_path / "x.las")
+    pio.write_las(p, np.zeros((1, 3)))
+    raw = bytearray(open(p, "rb").read())
+    raw[104] |= 0x80  # LAZ compression flag
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="LAZ"):
+        pio.read_las(p)
+    open(p, "wb").write(b"NOPE" + bytes(raw[4:]))
+    with pytest.raises(ValueError, match="signature"):
+        pio.read_las(p)

@@ -109,3 +109,38 @@ def test_detect_local_loop():
                                       max_loop_dist=8.0)
     assert loop_id >= 0
     assert abs(xs[loop_id] - xs[-1]) < 5.0
+
+
+def test_gt_loop_manager():
+    """GT loop oracle (ref utils/loop_detector.py:258-307): a square loop
+    revisiting the origin must fire once past the exclusion window, with the
+    GT relative transform."""
+    from pin_slam_tpu.slam.loop_detector import GTLoopManager
+
+    mgr = GTLoopManager(max_loop_dist=5.0)
+    # square path 40 frames per side, 1 m/frame; frame 160 back at origin
+    poses = []
+    pos = np.zeros(3)
+    heading = np.array([1.0, 0.0, 0.0])
+    for i in range(161):
+        T = np.eye(4)
+        T[:3, 3] = pos
+        poses.append(T)
+        if i > 0 and i % 40 == 0:
+            heading = np.array([-heading[1], heading[0], 0.0])
+        pos = pos + heading
+
+    fired = []
+    for i, T in enumerate(poses):
+        mgr.add_node(i, T)
+        loop_id, dist, trans = mgr.detect_loop()
+        if loop_id >= 0:
+            fired.append((i, loop_id, dist, trans))
+
+    assert fired, "GT loop never fired on a closed square"
+    i, loop_id, dist, trans = fired[0]
+    assert i >= 130 and loop_id <= 30  # revisit matched against the first side
+    # T_l<-c consistency: poses[loop_id] @ trans == poses[i]
+    np.testing.assert_allclose(poses[loop_id] @ trans, poses[i], atol=1e-9)
+    # respects the recency exclusion: no loop within the first 30 frames
+    assert all(f[0] - f[1] > GTLoopManager.EXCLUDE_RECENT for f in fired)
