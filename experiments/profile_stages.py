@@ -107,7 +107,7 @@ def main():
     # ---- mapping loop ----
     params = mp.TrainableParams(features=lm.geo_features, color_features=None,
                                 geo=geo, sem=None, color=None)
-    opt_state = mp.make_optimizer(mcfg).init(params)
+    opt_state = mp._fused_adam(mcfg)[0](params)
     args = dict(num_iters=int(cfg.iters))
     ms, _ = t(mp.mapping_loop, lm, mc, params, opt_state, pool, mcfg, offsets,
               key, jnp.float32(1.0), jnp.asarray(True), jnp.asarray(False), **args)

@@ -160,15 +160,19 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
     # (positional encoding changes d(vec)/d(p), so that path falls back to vjp)
     use_analytic = mc.weighted_first and not color_on and mc.pos_encoding_band == 0
 
-    def one_step(R, t):
+    def one_step(R, t, cache=None):
         cur = source @ R.T + t                       # shifted frame
         pts_world = cur + origin
 
         if use_analytic:
-            from pin_slam_tpu.slam.tracker_grad import sdf_value_and_grad
+            from pin_slam_tpu.slam import tracker_grad as tg
 
-            sdf_pred, grad, nn_count = sdf_value_and_grad(
-                lm, mc, geo_params, sdf_scale, offsets, pts_world, after_pgo)
+            if cache is not None:
+                sdf_pred, grad, nn_count = tg.sdf_value_and_grad_cached(
+                    cache, mc, geo_params, sdf_scale, pts_world, after_pgo)
+            else:
+                sdf_pred, grad, nn_count = tg.sdf_value_and_grad(
+                    lm, mc, geo_params, sdf_scale, offsets, pts_world, after_pgo)
             sdf_std = jnp.zeros_like(sdf_pred)
             intensity = jnp.zeros_like(sdf_pred)
             vjp_fn = None
@@ -236,13 +240,38 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         xs = smallmat.cholesky_solve6(Ns + 1e-7 * jnp.eye(6, dtype=N.dtype), d * g)
         return d * xs
 
+    # candidate cache (analytic path): all random gathers hoisted out of the
+    # GN iterations; refreshed in-loop only when the pose has moved enough to
+    # change the probed cell neighborhoods (see tracker_grad.CandCache)
+    if use_analytic:
+        from pin_slam_tpu.slam import tracker_grad as tg
+
+        r_max = jnp.max(jnp.where(source_valid,
+                                  jnp.linalg.norm(source, axis=-1), 0.0))
+        probe_margin = 0.25 * mc.voxel_size
+
+        def probe(R, t):
+            return tg.probe_candidates(
+                lm, mc, source @ R.T + t + origin, offsets)
+
     def cond(carry):
-        R, t, i, converged, valid, last_res = carry
+        R, t, i, converged, valid, last_res = carry[:6]
         return (i < tc.reg_iter_n) & ~converged & valid
 
     def body(carry):
-        R, t, i, converged, valid, last_res = carry
-        N, g, res_cm, valid_count = one_step(R, t)
+        if use_analytic:
+            R, t, i, converged, valid, last_res, cache, pR, pt = carry
+            # upper bound on how far any source point moved since the probe
+            moved = (jnp.linalg.norm(t - pt)
+                     + jnp.linalg.norm(R - pR) * r_max)
+            cache, pR, pt = jax.lax.cond(
+                moved > probe_margin,
+                lambda: (probe(R, t), R, t),
+                lambda: (cache, pR, pt))
+            N, g, res_cm, valid_count = one_step(R, t, cache)
+        else:
+            R, t, i, converged, valid, last_res = carry
+            N, g, res_cm, valid_count = one_step(R, t)
         xi = solve(N, g)
         # trust region: an ill-conditioned normal-equation solve can return an
         # enormous step, and Rodrigues at huge f32 angles loses orthonormality
@@ -271,12 +300,19 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         tran_m = jnp.linalg.norm(dt)
         converged = (rot_deg < tc.term_thre_deg) & (tran_m < tc.term_thre_m)
 
+        if use_analytic:
+            return (R_new, t_new, i + 1, converged, valid, last_res, cache, pR, pt)
         return (R_new, t_new, i + 1, converged, valid, last_res)
 
-    init = (R_init.astype(jnp.float32), t_init.astype(jnp.float32),
+    R0 = R_init.astype(jnp.float32)
+    t0 = t_init.astype(jnp.float32)
+    init = (R0, t0,
             jnp.zeros((), jnp.int32), jnp.zeros((), bool), jnp.ones((), bool),
             jnp.full((), 1e5, jnp.float32))
-    R, t, i, converged, valid, last_res = jax.lax.while_loop(cond, body, init)
+    if use_analytic:
+        init = init + (probe(R0, t0), R0, t0)
+    out = jax.lax.while_loop(cond, body, init)
+    R, t, i, converged, valid, last_res = out[:6]
 
     # re-orthonormalize: f32 drift through up to reg_iter_n matrix products
     # leaves det(R) != 1; if the caller chains poses frame-to-frame the scale

@@ -16,7 +16,7 @@ per-neighbor blending mode falls back to vjp).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,25 +52,14 @@ def _mlp_value_and_input_grad(params: dec.DecoderParams, h: jax.Array,
     return sdf, g
 
 
-def sdf_value_and_grad(lm: npts.LocalMap, mc: npts.MapConfig,
-                       geo_params: dec.DecoderParams, sdf_scale: float,
-                       offsets: jax.Array, pts: jax.Array,
-                       after_pgo=False) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (sdf (B,), grad (B,3), nn_count (B,)).
+def _core(mc: npts.MapConfig, geo_params: dec.DecoderParams, sdf_scale: float,
+          pts: jax.Array, nbr_pos: jax.Array, quat: jax.Array,
+          feats: jax.Array, valid: jax.Array,
+          after_pgo) -> Tuple[jax.Array, jax.Array]:
+    """Shared dense math: (B,k) selected neighbors -> (sdf, grad).
 
-    weighted_first=True only (asserted); matches interpolate_features +
-    decoder.sdf + jax.grad exactly.
-    """
-    assert mc.weighted_first, "analytic gradient implemented for weighted_first"
-    assert mc.pos_encoding_band == 0, "positional encoding needs the vjp path"
-    L, eps = mc.local_capacity, mc.idw_eps
-    knn = npts.knn_search(lm, mc, pts, offsets)
-    valid = knn.lidx < L
-    safe_idx = jnp.where(valid, knn.lidx, L)
-
-    pose = lm.attr_rows[safe_idx]                       # (B,k,16) one gather
-    nbr_pos = pose[..., npts.C_POS]
-    quat = pose[..., npts.C_QUAT]
+    Inputs are already-gathered per-neighbor rows; no random access here."""
+    eps = mc.idw_eps
     v_raw = pts[:, None, :] - nbr_pos                   # (B,k,3)
     d2 = jnp.sum(v_raw * v_raw, axis=-1)
     d2 = jnp.where(valid, d2, _INVALID_DIST2)
@@ -81,7 +70,7 @@ def sdf_value_and_grad(lm: npts.LocalMap, mc: npts.MapConfig,
     v = jnp.where(jnp.asarray(after_pgo), v_rot, v_raw)
     v = jnp.where(valid[..., None], v, 0.0)
 
-    feats = jnp.where(valid[..., None], lm.geo_features[safe_idx], 0.0)  # (B,k,F)
+    feats = jnp.where(valid[..., None], feats, 0.0)     # (B,k,F)
 
     w_hat = 1.0 / (d2 + eps)
     w_hat = jnp.where(valid, w_hat, 0.0)
@@ -115,4 +104,103 @@ def sdf_value_and_grad(lm: npts.LocalMap, mc: npts.MapConfig,
                       jnp.broadcast_to(g_v[:, None, :], v_raw.shape))
     grad = grad + jnp.einsum("bk,bkj->bj", w, g_v_k)
 
+    return sdf, grad
+
+
+def sdf_value_and_grad(lm: npts.LocalMap, mc: npts.MapConfig,
+                       geo_params: dec.DecoderParams, sdf_scale: float,
+                       offsets: jax.Array, pts: jax.Array,
+                       after_pgo=False) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (sdf (B,), grad (B,3), nn_count (B,)).
+
+    weighted_first=True only (asserted); matches interpolate_features +
+    decoder.sdf + jax.grad exactly.
+    """
+    assert mc.weighted_first, "analytic gradient implemented for weighted_first"
+    assert mc.pos_encoding_band == 0, "positional encoding needs the vjp path"
+    L = mc.local_capacity
+    knn = npts.knn_search(lm, mc, pts, offsets)
+    valid = knn.lidx < L
+    safe_idx = jnp.where(valid, knn.lidx, L)
+
+    pose = lm.attr_rows[safe_idx]                       # (B,k,16) one gather
+    nbr_pos = pose[..., npts.C_POS]
+    quat = pose[..., npts.C_QUAT]
+    feats = lm.geo_features[safe_idx]                   # (B,k,F)
+    sdf, grad = _core(mc, geo_params, sdf_scale, pts, nbr_pos, quat, feats,
+                      valid, after_pgo)
     return sdf, grad, knn.nn_count
+
+
+class CandCache(NamedTuple):
+    """Per-source-point neighbor candidates, gathered ONCE per probe pose.
+
+    The registration while_loop moves the pose by millimetres between
+    iterations, yet the reference re-runs the full hash probe + 5 gathers
+    every iteration (ref utils/tracker.py:92-106 -> model/neural_points.py:
+    459-509).  On TPU random row-gathers are the dominant cost (~9 ns/row via
+    the scalar gather engine), so we hoist them: probe the voxel-hash
+    neighborhood and densely gather position/orientation/features for ALL K
+    template cells once, then every GN iteration is pure dense math over the
+    (B,K,...) arrays — dist^2 re-ranking, top-k, one-hot matmul selection —
+    which the VPU/MXU stream at HBM speed.  The cache is refreshed (lax.cond)
+    whenever the pose has moved far enough that the probed cell neighborhoods
+    could have changed (> probe_margin), so selected neighbors are always a
+    subset of what a fresh probe would see, re-validated by the exact
+    dist^2 <= max_valid_dist2 gate each iteration.
+    """
+
+    lidx: jax.Array     # (B,K) i32 local indices, sentinel = local_capacity
+    packed: jax.Array   # (B,K,7+F) f32: [pos(3) | quat(4) | feats(F)]
+
+
+def probe_candidates(lm: npts.LocalMap, mc: npts.MapConfig, pts: jax.Array,
+                     offsets: jax.Array) -> CandCache:
+    """Hash-probe the K-cell template at ``pts`` (world frame) and gather all
+    candidate rows densely (the only random access of the tracking loop)."""
+    L = mc.local_capacity
+    grid = npts.grid_coords(pts, mc.voxel_size)
+    cells = grid[:, None, :] + offsets[None, :, :]
+    h = npts.spatial_hash(cells, mc.local_hash_size)
+    rows = lm.hash_rows[h]                              # (B,K,4) one gather
+    lidx = rows[..., 3].astype(jnp.int32)
+    valid = lidx < L
+    safe = jnp.where(valid, lidx, L)
+    attr = lm.attr_rows[safe]                           # (B,K,16)
+    feats = lm.geo_features[safe]                       # (B,K,F)
+    # invalid slots get a far-away position so the dist^2 gate kills them at
+    # every future pose, matching knn_search's (lidx < L) condition
+    pos = jnp.where(valid[..., None], rows[..., :3], 1e5)
+    packed = jnp.concatenate(
+        [pos, attr[..., npts.C_QUAT], jnp.where(valid[..., None], feats, 0.0)],
+        axis=-1)
+    return CandCache(lidx=jnp.where(valid, lidx, L), packed=packed)
+
+
+def sdf_value_and_grad_cached(cache: CandCache, mc: npts.MapConfig,
+                              geo_params: dec.DecoderParams, sdf_scale: float,
+                              pts: jax.Array,
+                              after_pgo=False) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Same result as ``sdf_value_and_grad`` but from a CandCache — zero
+    random HBM access: re-rank cached candidates by dist^2 at the current
+    pose, approx top-k, select rows with a one-hot batched matmul (MXU), and
+    run the shared analytic core."""
+    L = mc.local_capacity
+    K = cache.lidx.shape[1]
+    pos = cache.packed[..., :3]
+    d = pts[:, None, :] - pos
+    d2 = jnp.sum(d * d, axis=-1)                        # (B,K) dense
+    valid_all = (cache.lidx < L) & (d2 <= mc.max_valid_dist2)
+    nn_count = jnp.sum(valid_all, axis=-1, dtype=jnp.int32)
+    d2 = jnp.where(valid_all, d2, _INVALID_DIST2)
+
+    k = min(mc.nn_k, K)
+    neg, sel = jax.lax.approx_max_k(-d2, k)             # k smallest dist^2
+    d2_k = -neg
+    valid = d2_k < _INVALID_DIST2
+    onehot = (sel[..., None] ==
+              jnp.arange(K, dtype=sel.dtype)[None, None, :]).astype(pts.dtype)
+    pk = jnp.einsum("bks,bsf->bkf", onehot, cache.packed)  # (B,k,7+F) MXU select
+    sdf, grad = _core(mc, geo_params, sdf_scale, pts, pk[..., :3],
+                      pk[..., 3:7], pk[..., 7:], valid, after_pgo)
+    return sdf, grad, nn_count

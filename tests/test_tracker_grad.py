@@ -74,3 +74,37 @@ def test_analytic_grad_after_pgo(rng):
     ok = np.asarray(nn) > 0
     np.testing.assert_allclose(np.asarray(sdf)[ok], sdf_ref[ok], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(grad)[ok], grad_ref[ok], rtol=5e-4, atol=2e-5)
+
+def test_cached_path_matches_direct(rng):
+    """CandCache probed at the query pose must reproduce sdf_value_and_grad
+    exactly; probed at a slightly different pose it must still agree wherever
+    the probed cell neighborhoods are unchanged (here: tiny offset)."""
+    from pin_slam_tpu.slam.tracker_grad import (probe_candidates,
+                                                sdf_value_and_grad_cached)
+
+    mc, lm, geo, offsets, q = _setup(rng)
+    q = jnp.asarray(q)
+    sdf_d, grad_d, nn_d = sdf_value_and_grad(lm, mc, geo, 0.055, offsets, q)
+
+    cache = probe_candidates(lm, mc, q, offsets)
+    sdf_c, grad_c, nn_c = sdf_value_and_grad_cached(cache, mc, geo, 0.055, q)
+    np.testing.assert_array_equal(np.asarray(nn_c), np.asarray(nn_d))
+    np.testing.assert_allclose(np.asarray(sdf_c), np.asarray(sdf_d),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad_c), np.asarray(grad_d),
+                               rtol=2e-4, atol=1e-5)
+
+    # query at a pose 2 cm away from the probe pose (well inside the probe
+    # margin): values must match a fresh direct query at the moved points
+    q2 = q + jnp.asarray([0.02, -0.01, 0.015], jnp.float32)
+    sdf_d2, grad_d2, nn_d2 = sdf_value_and_grad(lm, mc, geo, 0.055, offsets, q2)
+    sdf_c2, grad_c2, nn_c2 = sdf_value_and_grad_cached(cache, mc, geo, 0.055, q2)
+    # neighborhoods only churn at cell boundaries, so the vast majority of
+    # rows must agree exactly with a fresh probe (the rest differ by one
+    # swapped boundary neighbor and are refreshed in-loop past probe_margin)
+    close = np.isclose(np.asarray(sdf_c2), np.asarray(sdf_d2),
+                       rtol=1e-5, atol=1e-6)
+    assert close.mean() > 0.85, f"cell-boundary churn too high: {close.mean()}"
+    gclose = np.isclose(np.asarray(grad_c2), np.asarray(grad_d2),
+                        rtol=2e-4, atol=1e-4).all(axis=-1)
+    assert gclose.mean() > 0.85, f"gradient churn too high: {gclose.mean()}"
