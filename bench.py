@@ -21,7 +21,9 @@ import time
 import numpy as np
 
 N_RAYS = 1 << 15        # rays per frame fed to the sampler/mapper
-N_WARM = 3              # warmup frames (compile + map bootstrap)
+N_WARM = 11             # warmup frames: must cover EVERY per-frame code path's
+#                         compile, incl. pool_filter at frame pool_filter_freq-1
+#                         (a single in-window compile once skewed the mean 4x)
 N_BENCH = 12            # measured frames
 
 

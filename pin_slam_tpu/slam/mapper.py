@@ -85,21 +85,34 @@ class MapperConfig:
         )
 
 
-# Packed pool-row layout: the training batch gather touches ONE (P,8) array
-# instead of four/five separate SoA gathers (TPU gathers/scatters pay per row,
-# not per byte).  local_coord stays separate: only BA/pool_retransform read it.
-POOL_DIM = 8
+# Packed pool-row layout: the training batch gather touches ONE (P,16) array
+# (TPU gathers pay per ROW, almost independent of row width — measured
+# ~6.5-12.6 ns/row vs 53 ms for the 33-cell per-sample hash probe).  Besides
+# the sample itself, each row CACHES the sample's kNN: the k=6 GLOBAL neighbor
+# indices, computed ONCE at append time instead of re-probing the voxel hash
+# for every training batch every iteration (the reference re-queries per
+# batch, utils/mapper.py:461 -> model/neural_points.py:459-509; on TPU that
+# probe was 53+18 ms per frame).  Neighbor positions/quaternions are NOT
+# cached: the training loop gathers them fresh from the cache-resident local
+# attribute table, so map deformation (PGO adjust_map) needs no pool refresh.
+# Neighbor SETS are frozen at append: points inserted near an existing sample
+# later do not join its set until the region is re-observed (the map
+# voxel-saturates within a few frames of first observation, so the staleness
+# window is short); a set member that leaves the local-map window maps to the
+# sentinel row, matching the reference's travel-window query filter.
+POOL_DIM = 16
 P_COORD = slice(0, 3)   # world-frame sample coords
 P_LABEL = 3             # sdf label
 P_WEIGHT = 4            # weight (sign flags freespace)
 P_TS = 5                # frame id (f32 value-cast)
+P_LOCAL = slice(6, 9)   # sensor-frame coords (for BA/PGO re-transforms)
+P_KNN = slice(10, 16)   # k=6 GLOBAL neighbor indices (f32 value-cast, -1 = none)
 
 
 class PoolState(NamedTuple):
     """Replay data pool (ref utils/mapper.py:71-78), fixed capacity P."""
 
-    rows: jax.Array         # (P+1, 8) packed [coord3, label, weight, ts, pad2]
-    local_coord: jax.Array  # (P+1,3) sensor-frame coords (for BA re-transforms)
+    rows: jax.Array         # (P+1, 16) packed rows (see P_* column map)
     sem_label: Optional[jax.Array]    # (P+1,) i32
     color_label: Optional[jax.Array]  # (P+1,C)
     head: jax.Array         # () i32 ring write position
@@ -124,12 +137,21 @@ class PoolState(NamedTuple):
     def ts(self) -> jax.Array:
         return self.rows[:, P_TS].astype(jnp.int32)
 
+    @property
+    def local_coord(self) -> jax.Array:
+        return self.rows[:, P_LOCAL]
+
+    @property
+    def knn_gidx(self) -> jax.Array:
+        return self.rows[:, P_KNN].astype(jnp.int32)
+
 
 def init_pool(mcfg: MapperConfig, color_channel: int = 3) -> PoolState:
     P = mcfg.pool_capacity
+    rows = jnp.zeros((P + 1, POOL_DIM), jnp.float32)
+    rows = rows.at[:, P_KNN].set(-1.0)
     return PoolState(
-        rows=jnp.zeros((P + 1, POOL_DIM), jnp.float32),
-        local_coord=jnp.zeros((P + 1, 3), jnp.float32),
+        rows=rows,
         sem_label=jnp.zeros((P + 1,), jnp.int32) if mcfg.semantic_on else None,
         color_label=jnp.zeros((P + 1, color_channel), jnp.float32) if mcfg.color_on else None,
         head=jnp.zeros((), jnp.int32),
@@ -139,28 +161,76 @@ def init_pool(mcfg: MapperConfig, color_channel: int = 3) -> PoolState:
     )
 
 
+def exact_k_min(d2: jax.Array, k: int):
+    """Indices of the k smallest values along the last axis, ascending —
+    exact, via k iterative argmin passes (cheap VPU sweeps).  Replaces
+    ``jax.lax.approx_max_k`` where its PartialReduce lowering is slow
+    (measured 18 ms at (245760, 33) vs ~4 ms for the sweeps)."""
+    K = d2.shape[-1]
+    cols = jnp.arange(K, dtype=jnp.int32)
+    sel = []
+    d = d2
+    for _ in range(k):
+        j = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        sel.append(j)
+        d = jnp.where(cols == j[..., None], jnp.inf, d)
+    return jnp.stack(sel, axis=-1)
+
+
+def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array):
+    """kNN of one frame's samples at append time: probe the local voxel hash,
+    rank by exact distance, return GLOBAL neighbor indices (M, k), -1 = none.
+    One probe per sample per LIFETIME instead of per training batch (see the
+    pool-row layout note above).
+
+    Runs right after this frame's ``map_insert`` + ``build_local_map``, so the
+    frame's own surface points are already in the index (matching the
+    reference's query-after-update ordering, utils/mapper.py:163-176,461).
+    """
+    from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
+
+    L = mc.local_capacity
+    grid = grid_coords(coords, mc.voxel_size)
+    cells = grid[:, None, :] + offsets[None, :, :]
+    h = spatial_hash(cells, mc.local_hash_size)
+    rows = lm.hash_rows[h]                                 # (M,K,4) probe
+    nbr = rows[..., :3]
+    lidx = rows[..., 3].astype(jnp.int32)
+    d = nbr - coords[:, None, :]
+    dist2 = jnp.sum(d * d, axis=-1)
+    valid = (lidx < L) & (dist2 <= mc.max_valid_dist2)
+    dist2 = jnp.where(valid, dist2, npts._INVALID_DIST2)
+
+    k = min(mc.nn_k, offsets.shape[0])
+    sel = exact_k_min(dist2, k)                            # (M,k)
+    lidx_k = jnp.take_along_axis(jnp.where(valid, lidx, L), sel, axis=1)
+    ok = lidx_k < L
+    return jnp.where(ok, lm.indices[jnp.minimum(lidx_k, L)], -1)
+
+
 @partial(jax.jit, static_argnames=("mcfg",))
 def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
                 coord_local: jax.Array, sdf_label: jax.Array, weight: jax.Array,
                 valid: jax.Array, cur_ts: jax.Array,
                 new_mask: jax.Array,
                 sem_label: Optional[jax.Array] = None,
-                color_label: Optional[jax.Array] = None) -> PoolState:
+                color_label: Optional[jax.Array] = None,
+                knn_gidx: Optional[jax.Array] = None) -> PoolState:
     """Ring-buffer append of one frame's samples (ref utils/mapper.py:185-199).
 
-    TPU-first: valid rows are compacted to the front of the frame bucket (one
-    gather), then the whole bucket is written as ONE contiguous
-    ``dynamic_update_slice`` instead of a row scatter (profiled on real TPU:
-    scatters cost ~60-90 ns/row vs ~1 ns/row for dense copies — the two pool
-    scatters alone were ~30 ms/frame at KITTI shapes).  The head advances by
-    the VALID count, so the pool stays densely packed with valid samples like
-    the reference's; the bucket's padded tail (marked ``ts = -1``) transiently
-    occupies the rows just past the head and is overwritten by the next
-    append.  The head resets to 0 when a bucket would cross the end, so a
-    write never wraps (the overwritten rows are the oldest ones either way).
+    TPU-first: the frame's rows are PACKED first (one (M,40) build), then
+    valid rows are compacted to the bucket front with ONE wide row-gather and
+    written as ONE contiguous ``dynamic_update_slice`` — no row scatters and
+    no per-column gathers.  The head advances by the VALID count, so the pool
+    stays densely packed with valid samples like the reference's; the bucket's
+    padded tail (marked ``ts = -1``) transiently occupies the rows just past
+    the head and is overwritten by the next append.  The head resets to 0 when
+    a bucket would cross the end, so a write never wraps (the overwritten rows
+    are the oldest ones either way).
 
     ``new_mask`` flags low-certainty close-to-surface samples for boosted
     sampling (ref utils/mapper.py:274-310); their pool indices are recorded.
+    ``knn_gidx``: per-sample cached kNN global indices from ``append_knn``.
     """
     P = mcfg.pool_capacity
     n = coord_world.shape[0]
@@ -168,21 +238,28 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
         raise ValueError(f"frame sample bucket {n} exceeds pool capacity {P}")
     head = jnp.where(pool.head + n > P, 0, pool.head)
 
+    if knn_gidx is None:
+        knn_gidx = jnp.full((n, 6), -1, jnp.int32)
+    kk = knn_gidx.shape[1]
+
+    # pack the frame bucket, THEN compact with one wide row-gather
+    built = jnp.zeros((n, POOL_DIM), jnp.float32)
+    built = built.at[:, P_COORD].set(coord_world.astype(jnp.float32))
+    built = built.at[:, P_LABEL].set(sdf_label)
+    built = built.at[:, P_WEIGHT].set(weight)
+    built = built.at[:, P_TS].set(cur_ts.astype(jnp.float32))
+    built = built.at[:, P_LOCAL].set(coord_local.astype(jnp.float32))
+    built = built.at[:, 10:10 + kk].set(knn_gidx.astype(jnp.float32))
+
     perm = jnp.nonzero(valid, size=n, fill_value=n)[0].astype(jnp.int32)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
     in_valid = jnp.arange(n, dtype=jnp.int32) < n_valid
-    cw = jnp.where(in_valid[:, None], coord_world[jnp.minimum(perm, n - 1)], 0.0)
-    cl = jnp.where(in_valid[:, None], coord_local[jnp.minimum(perm, n - 1)], 0.0)
-    sl = jnp.where(in_valid, sdf_label[jnp.minimum(perm, n - 1)], 0.0)
-    wt = jnp.where(in_valid, weight[jnp.minimum(perm, n - 1)], 0.0)
-    ts_f = jnp.where(in_valid, cur_ts.astype(jnp.float32), -1.0)
+    new_rows = jnp.where(in_valid[:, None], built[jnp.minimum(perm, n - 1)], 0.0)
+    new_rows = new_rows.at[:, P_TS].set(jnp.where(in_valid, new_rows[:, P_TS], -1.0))
+    new_rows = new_rows.at[:, P_KNN].set(
+        jnp.where(in_valid[:, None], new_rows[:, P_KNN], -1.0))
 
-    new_rows = jnp.concatenate(
-        [cw.astype(jnp.float32), sl[:, None], wt[:, None],
-         ts_f[:, None], jnp.zeros((n, POOL_DIM - 6), jnp.float32)], axis=1)
     rows = jax.lax.dynamic_update_slice(pool.rows, new_rows, (head, 0))
-    local_coord = jax.lax.dynamic_update_slice(
-        pool.local_coord, cl.astype(jnp.float32), (head, 0))
     sem = (jax.lax.dynamic_update_slice(
         pool.sem_label, sem_label[jnp.minimum(perm, n - 1)] * in_valid, (head,))
         if pool.sem_label is not None else None)
@@ -203,7 +280,7 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
     new_count = jnp.minimum(jnp.sum(nm_compact, dtype=jnp.int32),
                             mcfg.new_idx_capacity)
 
-    return pool._replace(rows=rows, local_coord=local_coord,
+    return pool._replace(rows=rows,
                          sem_label=sem, color_label=col, head=new_head % P,
                          fill=fill, new_idx=new_pool_idx, new_count=new_count)
 
@@ -219,9 +296,10 @@ def pool_filter(pool: PoolState, mcfg: MapperConfig, origin: jax.Array) -> PoolS
     keep = in_fill & (d2 < mcfg.window_radius**2)
     perm = jnp.nonzero(keep, size=P + 1, fill_value=P)[0].astype(jnp.int32)
     count = jnp.sum(keep, dtype=jnp.int32)
+    rows = pool.rows[perm]
+    rows = rows.at[P].set(jnp.zeros((POOL_DIM,), jnp.float32).at[P_KNN].set(-1.0))
     return pool._replace(
-        rows=pool.rows[perm],
-        local_coord=pool.local_coord[perm],
+        rows=rows,
         sem_label=pool.sem_label[perm] if pool.sem_label is not None else None,
         color_label=pool.color_label[perm] if pool.color_label is not None else None,
         head=count % P,
@@ -684,6 +762,207 @@ def _mapping_loop_fast(lm: npts.LocalMap, mc: npts.MapConfig,
         return (params_c, opt_c), loss
 
     (params, opt_state), loss_hist = jax.lax.scan(one_iter, (params, opt_state), xs)
+    return lm_out, params, opt_state, loss_hist
+
+
+@partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters", "after_pgo",
+                                   "pos_encode"))
+def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
+                        params: TrainableParams, opt_state: AdamState,
+                        pool: PoolState,
+                        mcfg: MapperConfig, key: jax.Array,
+                        decoder_lr_scale: jax.Array, use_new: jax.Array,
+                        num_iters: int, after_pgo: bool = False,
+                        pos_encode=None):
+    """The per-frame training loop with POOL-CACHED kNN — the TPU-native
+    production path (ref utils/mapper.py:425-593 ``mapping``).
+
+    Design (see the pool-row layout note): every batch row carries its k=6
+    global neighbor indices + positions, so an iteration is pure dense math +
+    one feature gather + one backward scatter — no hash probe and no neighbor
+    attribute gathers.  The cached GLOBAL indices are remapped to LOCAL rows
+    once per frame (one narrow gather from a dense rank table): training
+    still operates on the compact (L+1, F+1) LOCAL feature table, which is
+    cache-resident — measured 6x faster for both the scan's gather and its
+    backward scatter than the (cap+1) global table.  Neighbors outside the
+    current local-map window map to the sentinel row, which matches the
+    reference's travel-window query filter (model/neural_points.py:480-488).
+
+    ``params.features`` is the (L+1, F+1) local feature table where column
+    F is the CERTAINTY CHANNEL: a loss term ``sum(w * feats[:, F])`` makes the
+    autodiff backward scatter deliver the per-point IDW-weight sums
+    (ref model/neural_points.py:634-652 certainty accumulation) in the SAME
+    scatter as the feature gradients — column F's raw gradient is extracted
+    per iteration and zeroed before Adam, and its values stay pinned at 0.
+
+    Returns (lm with updated cert/ts bookkeeping, params, opt_state,
+    loss_hist); the caller writes features back to the global map via
+    ``assign_local_to_global`` exactly as the legacy paths do.
+    """
+    _, adam_step = _fused_adam(mcfg)
+    T, B = num_iters, mcfg.bs
+    F = params.features.shape[1] - 1                      # feature dim (col F = cert)
+    L = mc.local_capacity
+    cap = mc.capacity
+    k = 6
+    eik = mcfg.ekional_loss_on
+    n_grad = B // mcfg.gradient_decimation if eik else 0
+
+    # ---- all iterations' batches at once: ONE wide row gather ----
+    idx_all = _sample_batch_indices(key, pool, mcfg, use_new, num_iters)  # (T,B)
+    flat_idx = idx_all.reshape(-1)
+    rows = pool.rows[flat_idx]                            # (T*B, 40)
+    coord = rows[:, P_COORD]
+    labels = rows[:, P_LABEL].reshape(T, B)
+    weights = jnp.abs(rows[:, P_WEIGHT]).reshape(T, B)
+    ts_flat = rows[:, P_TS]
+    in_pool = ((flat_idx < pool.fill) & (ts_flat >= 0.0)).reshape(T, B)
+    gidx = rows[:, P_KNN].astype(jnp.int32)               # (T*B, k)
+
+    # global -> local remap via the dense member-rank table
+    rank = jnp.cumsum(lm.member_mask.astype(jnp.int32)) - 1   # (cap+1,)
+    local_of = jnp.where(lm.member_mask, jnp.minimum(rank, L), L)
+    lidx = local_of[jnp.where(gidx >= 0, jnp.minimum(gidx, cap), cap)]
+    valid_k = (gidx >= 0) & (lidx < L)
+    safe_g = jnp.where(valid_k, lidx, L)
+
+    # newest pool ts among this frame's samples — the ts_update proxy folded
+    # into touched points after the scan (see the fold below)
+    ts_proxy = jnp.max(jnp.where(in_pool, ts_flat.reshape(T, B), 0.0))
+
+    def geometry(coords, valid, nbr_pos, quat):
+        vec = coords[..., None, :] - nbr_pos
+        dist2 = jnp.sum(vec * vec, axis=-1)
+        dist2 = jnp.where(valid, dist2, npts._INVALID_DIST2)
+        if after_pgo:
+            vec = apply_quaternion_rotation(quat, vec)
+        vec = jnp.where(valid[..., None], vec, 0.0)
+        w = 1.0 / (dist2 + 1e-15)
+        w = jnp.where(valid, w, 0.0)
+        nn_any = jnp.any(valid, axis=-1, keepdims=True)
+        w = jnp.where(nn_any, w, 1e-15)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        w = jnp.where(valid, w, 0.0)
+        enc = pos_encode(vec) if pos_encode is not None else vec
+        vec_blend = jnp.einsum("...k,...kp->...p", w, enc)
+        return w, vec_blend
+
+    # neighbor positions (and, after loop closures, quaternions) come from
+    # ONE gather of the cache-resident local attribute table
+    pose_rows = lm.attr_rows[safe_g]                      # (T*B, k, 16)
+    npos = pose_rows[..., :3]
+    quat = pose_rows[..., 3:7] if after_pgo else None
+    w, vec_blend = geometry(coord, valid_k, npos, quat)
+
+    sem_lab = pool.sem_label[idx_all] if (mcfg.semantic_on and params.sem is not None) else None
+    col_lab = pool.color_label[flat_idx].reshape(T, B, -1) \
+        if (mcfg.color_on and params.color is not None) else None
+
+    # ---- eikonal stencil geometry: shares the base points' kNN sets ----
+    if eik:
+        coord_r = coord.reshape(T, B, 3)[:, :n_grad]
+        eps_mat = jnp.eye(3, dtype=coord.dtype) * mcfg.num_grad_step
+        stencil = jnp.concatenate(
+            [coord_r[:, None] + eps_mat[None, :, None, :],
+             coord_r[:, None] - eps_mat[None, :, None, :]], axis=1)  # (T,6,n,3)
+        valid_b = valid_k.reshape(T, B, k)[:, :n_grad]
+        nbr_b = npos.reshape(T, B, k, 3)[:, :n_grad]
+        quat_b = (quat.reshape(T, B, k, 4)[:, :n_grad] if after_pgo else None)
+        w_st, vecb_st = geometry(
+            stencil,
+            jnp.broadcast_to(valid_b[:, None], (T, 6, n_grad, k)),
+            jnp.broadcast_to(nbr_b[:, None], (T, 6, n_grad, k, 3)),
+            jnp.broadcast_to(quat_b[:, None], (T, 6, n_grad, k, 4))
+            if after_pgo else None)
+        vecb_st = vecb_st.reshape(T, 6 * n_grad, -1)
+    else:
+        w_st = jnp.zeros((T, 0, 0, k), jnp.float32)
+        vecb_st = jnp.zeros((T, 0, vec_blend.shape[-1]), jnp.float32)
+
+    xs = dict(
+        safe_g=safe_g.reshape(T, B, k),
+        w=jnp.where(valid_k, w, 0.0).reshape(T, B, k),
+        vec_blend=vec_blend.reshape(T, B, -1), label=labels, weight=weights,
+        in_pool=in_pool, w_st=w_st, vecb_st=vecb_st)
+    if sem_lab is not None:
+        xs["sem_lab"] = sem_lab
+    if col_lab is not None:
+        xs["col_lab"] = col_lab
+
+    def one_iter(carry, x):
+        params_c, opt_c, cert_acc = carry
+
+        def loss_fn(p: TrainableParams):
+            feats = p.features[x["safe_g"]]               # (B,k,F+1) one gather
+            geo_feat = jnp.concatenate(
+                [jnp.einsum("bk,bkf->bf", x["w"], feats[..., :F]),
+                 x["vec_blend"]], -1)
+            sdf_pred = dec.sdf(p.geo, geo_feat, mcfg.sdf_scale)
+            loss = losses.sdf_bce_loss(sdf_pred, x["label"], mcfg.sigma_sigmoid,
+                                       x["weight"], mcfg.loss_weight_on,
+                                       valid=x["in_pool"])
+            # certainty channel: grad(col F) == per-point IDW weight sums
+            cert_term = jnp.sum(x["w"] * feats[..., F])
+            if eik:
+                f_base = feats[:n_grad]
+                st_feat = jnp.einsum("jnk,nkf->jnf", x["w_st"], f_base[..., :F])
+                geo_st = jnp.concatenate(
+                    [st_feat.reshape(6 * n_grad, -1), x["vecb_st"]], -1)
+                sdf_st = dec.sdf(p.geo, geo_st, mcfg.sdf_scale).reshape(6, n_grad)
+                g = jnp.stack([sdf_st[0] - sdf_st[3], sdf_st[1] - sdf_st[4],
+                               sdf_st[2] - sdf_st[5]], -1) / (2.0 * mcfg.num_grad_step)
+                loss = loss + mcfg.weight_e * losses.eikonal_loss(
+                    g, valid=x["in_pool"][:n_grad])
+                cert_term = cert_term + jnp.einsum(
+                    "jnk,nk->", x["w_st"], f_base[..., F])
+            if "sem_lab" in x and p.sem is not None:
+                sem_logp = dec.sem_label_prob(p.sem, geo_feat)
+                sem_valid = x["in_pool"] & (x["sem_lab"] > 0)
+                loss = loss + mcfg.weight_s * losses.sem_nll_loss(
+                    sem_logp, x["sem_lab"], valid=sem_valid)
+            if "col_lab" in x and p.color is not None:
+                cfeats = p.color_features[x["safe_g"]]
+                color_feat = jnp.concatenate(
+                    [jnp.einsum("bk,bkf->bf", x["w"], cfeats), x["vec_blend"]], -1)
+                color_pred = dec.regress_color(p.color, color_feat)
+                surf = x["in_pool"] & (jnp.abs(x["label"]) < mcfg.surface_sample_range)
+                loss = loss + mcfg.weight_i * losses.color_diff_loss(
+                    color_pred, x["col_lab"], x["weight"], mcfg.loss_weight_on,
+                    valid=surf)
+            return loss + cert_term, loss
+
+        (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_c)
+        # harvest the certainty channel's raw gradient; keep it out of Adam
+        cert_acc = cert_acc + grads.features[:, F]
+        grads = grads._replace(features=grads.features.at[:, F].set(0.0))
+        grads = grads._replace(
+            geo=jax.tree.map(lambda g: g * decoder_lr_scale, grads.geo),
+            sem=jax.tree.map(lambda g: g * decoder_lr_scale, grads.sem)
+            if grads.sem is not None else None,
+            color=jax.tree.map(lambda g: g * decoder_lr_scale, grads.color)
+            if grads.color is not None else None)
+        params_c, opt_c = adam_step(params_c, grads, opt_c)
+        params_c = params_c._replace(features=params_c.features.at[L].set(0.0))
+        return (params_c, opt_c, cert_acc), loss
+
+    cert0 = jnp.zeros((L + 1,), jnp.float32)
+    (params, opt_state, cert_acc), loss_hist = jax.lax.scan(
+        one_iter, (params, opt_state, cert0), xs)
+
+    # ---- fold certainty/ts bookkeeping into the local attribute rows (dense
+    # column ops; ref model/neural_points.py:634-652).  ts_update uses the
+    # frame-level max sampled ts as a proxy for the exact per-point max —
+    # touched points get an at-most-slightly-fresher stamp, which only
+    # lengthens their retention in the travel window.  assign_local_to_global
+    # re-derives the stored travel value from ts_update as before. ----
+    touched = cert_acc > 0.0
+    attr = lm.attr_rows
+    attr = attr.at[:, npts.C_CERT].set(attr[:, npts.C_CERT] + cert_acc)
+    attr = attr.at[:, npts.C_TSU].set(
+        jnp.where(touched, jnp.maximum(attr[:, npts.C_TSU], ts_proxy),
+                  attr[:, npts.C_TSU]))
+    attr = attr.at[L].set(npts._attr_sentinel_row())
+    lm_out = lm._replace(attr_rows=attr)
     return lm_out, params, opt_state, loss_hist
 
 

@@ -107,8 +107,10 @@ class SlamSystem:
         self.loop_reg_failed_count = 0
         self.last_source = None        # kept for loop verification
 
-        # travel-dist device buffer, updated incrementally (one tiny transfer/frame)
+        # travel-dist device buffer + stop counter, updated ON DEVICE inside
+        # update_and_train (the host keeps its own copy from the fetched poses)
         self._travel = jnp.zeros((TS_CAPACITY,), jnp.float32)
+        self._stop_count = jnp.zeros((), jnp.int32)
 
         self._build_jitted()
 
@@ -140,11 +142,20 @@ class SlamSystem:
 
         @jax.jit
         def odometry(lm, geo_params, color_params, points, valid, colors,
-                     R_init, t_init, after_pgo):
+                     R_init, t_init, t_last_w, after_pgo):
             """Stage II fused: source prep + registration + result packing.
-            The TrackResult is flattened to ONE (58,) f32 vector so the host
+            The TrackResult is flattened to ONE (54,) f32 vector so the host
             fetch is a single transfer (a NamedTuple fetch is one transfer per
-            leaf — 9 tunnel round trips)."""
+            leaf — 9 tunnel round trips).
+
+            Besides the packed host result, the SELECTED pose (estimate if all
+            health gates + the one-frame-jump check pass, else the
+            constant-velocity guess — the same selection the host applies to
+            the fetched packed vector, ref utils/tracker.py:170-172 +
+            dataset/slam_dataset.py:404-408) is returned as DEVICE values so
+            ``update_and_train`` can be dispatched without waiting for the
+            ~24 ms tunnel fetch: the fetch then overlaps the training program.
+            """
             src, src_valid, src_col, nrm, nrm_valid = source_prep(
                 points, valid, colors)
             res = trk.track_frame(
@@ -162,12 +173,24 @@ class SlamSystem:
                            res.valid_count.astype(jnp.float32),
                            res.min_eigenvalue]),
                 res.cov.reshape(-1)])                      # (9+3+6+36,) = (54,)
-            return packed, src, src_valid, nrm, nrm_valid
+            # on-device pose selection (mirrors the host's packed parsing)
+            origin = lm.origin
+            t_est_w = res.t + origin
+            jump = (jnp.linalg.norm(t_est_w - t_last_w)
+                    > 40.0 * cfg.surface_sample_range_m)
+            ok = res.valid & ~jump
+            R_sel = jnp.where(ok, res.R, R_init)
+            t_sel_w = jnp.where(ok, t_est_w, t_init + origin)
+            tran_sel = jnp.linalg.norm(t_sel_w - t_last_w)
+            return (packed, R_sel, t_sel_w, ok, tran_sel,
+                    src, src_valid, nrm, nrm_valid)
 
         def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
                          frame_id, travel, sem_labels, colors, geo_params):
             """Stage IV-a: sample -> insert -> local map -> new flags ->
-            pool append (ref utils/mapper.py:110-321 ``process_frame``)."""
+            per-sample kNN -> pool append (ref utils/mapper.py:110-321
+            ``process_frame``; the kNN-at-append is the TPU redesign — see
+            mapper.py pool-row layout note)."""
             if cfg.dynamic_filter_on:
                 # dynamic-object filter: drop measurements lying in confidently
                 # observed free space (ref utils/mapper.py:79-108)
@@ -201,46 +224,112 @@ class SlamSystem:
             lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
             new_mask = mp.compute_new_sample_mask(lm, mc, mcfg, coord_world,
                                                   batch.sdf_label, batch.valid)
+            knn_g = mp.append_knn(lm, mc, offsets, coord_world)
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
                                   batch.sdf_label, batch.weight, batch.valid,
                                   frame_id, new_mask, batch.sem_label,
-                                  batch.color_label)
+                                  batch.color_label, knn_g)
             return state, lm, pool
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2, 5))
-        def update_and_train(state, lm, pool, key, decoders, travel, travel_now,
-                             points, valid, pose_R, pose_t, frame_id,
-                             sem_labels, colors, dec_scale, use_new, after_pgo):
+        if cfg.pos_encoding_band > 0:
+            from pin_slam_tpu.ops.encodings import positional_encode
+
+            def pos_encode_fn(vec):
+                return positional_encode(vec, cfg.pos_encoding_band,
+                                         float(cfg.pos_encoding_freq),
+                                         float(cfg.pos_encoding_base),
+                                         cfg.use_gaussian_pe)
+        else:
+            pos_encode_fn = None
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 5), static_argnums=(17,))
+        def update_and_train(state, lm, pool, key, decoders, travel, stop_count,
+                             points, valid, pose_R, pose_t, track_ok, tran_sel,
+                             frame_id, sem_labels, colors, dec_scale, after_pgo):
             """Stages IV-a + IV-b fused into ONE device program per frame:
             travel-dist update, sampling/insert/local-map/pool, ``cfg.iters``
             Adam iterations, and the trained-feature write-back
             (ref pin_slam.py:235-257 -> utils/mapper.py process_frame+mapping).
             ``decoders`` = (geo, sem, color) DecoderParams; the trainable
-            features come from the freshly rebuilt local map."""
+            features come from the freshly rebuilt local map.
+
+            Pose + validity arrive as DEVICE values straight from ``odometry``
+            (fast path) so no host round trip sits between the two programs.
+            Travel distance, stop detection (ref slam_dataset.py:385-395) and
+            the lose-track gate (ref pin_slam.py:234-239: lost frames never
+            touch the map, the pool, or the trained features) are computed on
+            device; the host reproduces the same bookkeeping from the fetched
+            packed vector for its pose books.
+            """
             geo_p, sem_p, color_p = decoders
             key, k_sample = jax.random.split(key)
+            travel_now = travel[jnp.maximum(frame_id - 1, 0)] + tran_sel
             travel = travel.at[frame_id].set(travel_now)
-            state, lm, pool = frame_update(state, lm, pool, k_sample, points, valid,
-                                           pose_R, pose_t, frame_id, travel,
-                                           sem_labels, colors, geo_p)
+            stop_count = jnp.where(tran_sel < 0.01 * cfg.voxel_size_m,
+                                   stop_count + 1, 0)
+            use_new = track_ok & ~(stop_count > cfg.stop_frame_thre)
+            valid_t = valid & track_ok
+
+            state, lm2, pool = frame_update(state, lm, pool, k_sample, points,
+                                            valid_t, pose_R, pose_t, frame_id,
+                                            travel, sem_labels, colors, geo_p)
+            # ---- training with pool-cached kNN on the compact local feature
+            # table + certainty channel (mapper.mapping_loop_cached) ----
+            L = mc.local_capacity
+            featsC = jnp.concatenate(
+                [lm2.geo_features, jnp.zeros((L + 1, 1), jnp.float32)], axis=1)
             params = mp.TrainableParams(
-                features=lm.geo_features, color_features=lm.color_features,
+                features=featsC, color_features=lm2.color_features,
                 geo=geo_p, sem=sem_p, color=color_p)
             opt_state = mp.init_opt_state(mcfg, params)
-            lm, params, opt_state, loss_hist = mp.mapping_loop(
-                lm, mc, params, opt_state, pool, mcfg, offsets, key, dec_scale,
-                use_new, after_pgo, num_iters=int(cfg.iters))
-            lm = lm._replace(geo_features=params.features,
-                             color_features=params.color_features)
-            state = npts.assign_local_to_global(state, lm, mc, travel)
-            return state, lm, pool, params, opt_state, travel, loss_hist
+            lm3, params2, opt_state, loss_hist = mp.mapping_loop_cached(
+                lm2, mc, params, opt_state, pool, mcfg, key, dec_scale,
+                use_new, num_iters=int(cfg.iters), after_pgo=after_pgo,
+                pos_encode=pos_encode_fn)
+            lm3 = lm3._replace(
+                geo_features=params2.features[:, : mc.feature_dim],
+                color_features=params2.color_features)
+            # lost frames: keep the rebuilt (bookkeeping-free) local map and
+            # the untrained params (ref pin_slam.py:234-239)
+            pick = partial(jax.tree.map, lambda a, b: jnp.where(track_ok, a, b))
+            lm_out = pick(lm3, lm2)
+            params_out = pick(params2, params)
+            state = npts.assign_local_to_global(state, lm_out, mc, travel)
+            return (state, lm_out, pool, params_out, opt_state, travel,
+                    stop_count, loss_hist)
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
+        def extra_train(state, lm, pool, params, opt_state, key, dec_scale,
+                        after_pgo, travel):
+            """One extra chunk of ``cfg.iters`` training iterations threading
+            the Adam state — the frame-0 boost (ref pin_slam.py:244-248)."""
+            lm2, params2, opt2, hist = mp.mapping_loop_cached(
+                lm, mc, params, opt_state, pool, mcfg, key, dec_scale,
+                jnp.asarray(True), num_iters=int(cfg.iters),
+                after_pgo=after_pgo, pos_encode=pos_encode_fn)
+            lm2 = lm2._replace(
+                geo_features=params2.features[:, : mc.feature_dim],
+                color_features=params2.color_features)
+            state = npts.assign_local_to_global(state, lm2, mc, travel)
+            return state, lm2, params2, opt2, hist
 
         self._odometry = odometry
         self._frame_update = jax.jit(frame_update)   # kept for tests/tools
         self._update_and_train = update_and_train
+        self._extra_train = extra_train
 
     def process_frame(self, frame: Frame) -> dict:
-        """Run stages I-IV of the reference loop (pin_slam.py:96-269)."""
+        """Run stages I-IV of the reference loop (pin_slam.py:96-269).
+
+        Fast path (no PGO / BA this frame): odometry and update_and_train are
+        dispatched back-to-back with the pose handed over ON DEVICE, and the
+        packed registration result is fetched asynchronously afterwards — the
+        ~24 ms tunnel round trip overlaps the training program instead of
+        serializing the frame.  Conservative path (PGO/BA frames, or untracked
+        frames): fetch first, run the host stages, then dispatch
+        update_and_train with host-derived values (the reference ordering,
+        pin_slam.py:96-269, where PGO deformation precedes the map update).
+        """
         cfg = self.config
         info = {}
         t0 = time.perf_counter()
@@ -248,9 +337,15 @@ class SlamSystem:
         points = jnp.asarray(frame.points)
         valid = jnp.asarray(frame.valid)
 
+        tracked = cfg.track_on and self.frame_id > 0
+        ba_due = (cfg.ba_freq_frame > 0 and self.frame_id > cfg.ba_frame // 2
+                  and (self.frame_id + 1) % cfg.ba_freq_frame == 0)
+        conservative = (self.pgm is not None) or ba_due or not tracked
+
         # ---------------- II: odometry ----------------
         t1 = time.perf_counter()
-        if cfg.track_on and self.frame_id > 0:
+        packed_dev = None
+        if tracked:
             init_pose = self.dataset.initial_guess()
             origin64 = self.lm_origin64
             R_init = init_pose[:3, :3].astype(np.float32)
@@ -258,16 +353,36 @@ class SlamSystem:
 
             frame_colors = (jnp.asarray(frame.colors)
                             if frame.colors is not None and cfg.color_on else None)
-            packed, source, src_valid, src_normals, src_nrm_valid = \
+            (packed_dev, R_sel, t_w, ok_dev, tran_dev,
+             source, src_valid, src_normals, src_nrm_valid) = \
                 self._odometry(self.lm, self.geo_params,
                                self.color_params if cfg.color_on else None,
                                points, valid, frame_colors,
                                jnp.asarray(R_init), jnp.asarray(t_init),
+                               jnp.asarray(self.cur_pose[:3, 3].astype(np.float32)),
                                jnp.asarray(self.after_pgo))
             self.last_source = (source, src_valid, src_normals, src_nrm_valid)
-            # ONE packed device->host read: fetching the TrackResult NamedTuple
-            # leaf-by-leaf costs one ~25 ms tunnel round trip per leaf
-            packed = np.asarray(packed, dtype=np.float64)
+            try:
+                packed_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+        else:
+            if not cfg.track_on and self.dataset.gt_pose_provided:
+                self.cur_pose = self.dataset.gt_poses[self.frame_id].copy()
+            self.dataset.update_odom_pose(self.cur_pose, True)
+            self.last_reg_cov = None
+            R_sel = jnp.asarray(self.cur_pose[:3, :3].astype(np.float32))
+            t_w = jnp.asarray(self.cur_pose[:3, 3].astype(np.float32))
+            ok_dev = jnp.asarray(True)
+            tran_dev = jnp.float32(self.dataset.travel_dist[-1]
+                                   - self.dataset.travel_dist[-2]
+                                   if len(self.dataset.travel_dist) > 1 else 0.0)
+
+        def fetch_and_book():
+            """Blocking packed fetch + host pose bookkeeping (ONE transfer —
+            fetching the TrackResult NamedTuple leaf-by-leaf costs one ~25 ms
+            tunnel round trip per leaf)."""
+            packed = np.asarray(packed_dev, dtype=np.float64)
             valid_flag = bool(packed[12] > 0.5)
             if valid_flag:
                 T = np.eye(4)
@@ -281,11 +396,9 @@ class SlamSystem:
             info["reg_residual_cm"] = float(packed[15])
             info["reg_iters"] = int(packed[14])
             self.last_reg_cov = packed[18:54].reshape(6, 6)
-        else:
-            if not cfg.track_on and self.dataset.gt_pose_provided:
-                self.cur_pose = self.dataset.gt_poses[self.frame_id].copy()
-            self.dataset.update_odom_pose(self.cur_pose, True)
-            self.last_reg_cov = None
+
+        if conservative and tracked:
+            fetch_and_book()
 
         # ---------------- III: loop closure + PGO (ref pin_slam.py:139-226) ----
         if self.pgm is not None and not self.dataset.lose_track:
@@ -293,42 +406,49 @@ class SlamSystem:
             self._loop_closure_stage(info)
             info["pgo_s"] = time.perf_counter() - t_pgo0
 
-        # lost frames never touch the map or the pool (ref pin_slam.py:234-239)
-        if self.dataset.lose_track:
-            t2 = time.perf_counter()
-            self.stage_times.append([t1 - t0, t2 - t1, 0.0, 0.0, 0.0])
-            self.dataset.time_table.append(self.stage_times[-1])
-            self.frame_id += 1
-            info["skipped"] = True
-            return info
-
-        # ---------------- IV-b': sliding-window bundle adjustment ------------
-        if (cfg.ba_freq_frame > 0 and self.frame_id > cfg.ba_frame // 2
-                and (self.frame_id + 1) % cfg.ba_freq_frame == 0):
-            self._bundle_adjustment()
+        if conservative:
+            # lost frames never touch map/pool (enforced on host here; the
+            # fast path enforces the same through the device track_ok gate)
+            if self.dataset.lose_track:
+                t2 = time.perf_counter()
+                self.stage_times.append([t1 - t0, t2 - t1, 0.0, 0.0, 0.0])
+                self.dataset.time_table.append(self.stage_times[-1])
+                self.frame_id += 1
+                info["skipped"] = True
+                return info
+            if ba_due:
+                self._bundle_adjustment()
+            # host stages may have replaced cur_pose (PGO/BA) — rebuild the
+            # device pose inputs from the authoritative host values
+            R_sel = jnp.asarray(self.cur_pose[:3, :3].astype(np.float32))
+            t_w = jnp.asarray(self.cur_pose[:3, 3].astype(np.float32))
+            ok_dev = jnp.asarray(True)
+            tran_dev = jnp.float32(self.dataset.travel_dist[-1]
+                                   - self.dataset.travel_dist[-2]
+                                   if len(self.dataset.travel_dist) > 1 else 0.0)
 
         # ---------------- IV: map update + training, ONE device program -----
         t2 = time.perf_counter()
         self.key, k_frame, k_train = jax.random.split(self.key, 3)
-        pose_R = jnp.asarray(self.cur_pose[:3, :3].astype(np.float32))
-        pose_t = jnp.asarray(self.cur_pose[:3, 3].astype(np.float32))
         sem = jnp.asarray(frame.sem_labels) if frame.sem_labels is not None else None
         col = jnp.asarray(frame.colors) if frame.colors is not None else None
 
         dec_scale = jnp.float32(0.0 if self.frame_id >= cfg.freeze_after_frame else 1.0)
-        use_new = jnp.asarray(not self.dataset.lose_track and not self.dataset.stop_status)
 
         (self.state, self.lm, self.pool, params, opt_state, self._travel,
-         loss_hist) = self._update_and_train(
+         self._stop_count, loss_hist) = self._update_and_train(
             self.state, self.lm, self.pool, k_frame,
             (self.geo_params, self.sem_params, self.color_params), self._travel,
-            jnp.float32(self.dataset.travel_dist[-1]), points, valid,
-            pose_R, pose_t, jnp.int32(self.frame_id), sem, col,
-            dec_scale, use_new, jnp.asarray(self.after_pgo))
+            self._stop_count, points, valid, R_sel, t_w, ok_dev, tran_dev,
+            jnp.int32(self.frame_id), sem, col,
+            dec_scale, bool(self.after_pgo))
+
+        if tracked and not conservative:
+            fetch_and_book()          # overlaps the training program
         self.lm_origin64 = self.cur_pose[:3, 3].copy()
 
         if (self.frame_id + 1) % cfg.pool_filter_freq == 0:
-            self.pool = mp.pool_filter(self.pool, self.mcfg, pose_t)
+            self.pool = mp.pool_filter(self.pool, self.mcfg, t_w)
 
         # frame-0 boost: extra chunks of cfg.iters, threading the Adam state
         # (ref pin_slam.py:244-248, init_iter_ratio x).  (Stop frames run the
@@ -339,17 +459,12 @@ class SlamSystem:
         if cfg.log_loss_per_frame:
             loss_first, loss_last = float(loss_hist[0]), float(loss_hist[-1])
         for chunk in range(extra_chunks):
-            lm, params, opt_state, loss_hist = mp.mapping_loop(
-                self.lm, self.mc, params, opt_state, self.pool, self.mcfg,
-                self.offsets, jax.random.fold_in(k_train, chunk), dec_scale,
-                use_new, jnp.asarray(self.after_pgo), num_iters=int(cfg.iters))
-            self.lm = lm._replace(geo_features=params.features,
-                                  color_features=params.color_features)
+            (self.state, self.lm, params, opt_state, loss_hist) = \
+                self._extra_train(self.state, self.lm, self.pool, params,
+                                  opt_state, jax.random.fold_in(k_train, chunk),
+                                  dec_scale, self.after_pgo, self._travel)
             if cfg.log_loss_per_frame:
                 loss_last = float(loss_hist[-1])
-        if extra_chunks > 0:
-            self.state = npts.assign_local_to_global(self.state, self.lm,
-                                                     self.mc, self._travel)
 
         self.geo_params, self.sem_params, self.color_params = params.geo, params.sem, params.color
         info["loss_first"] = loss_first
