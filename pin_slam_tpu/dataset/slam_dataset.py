@@ -237,7 +237,8 @@ class SLAMDataset:
 
         metrics = {}
         if self.gt_pose_provided and len(poses) > 1:
-            from pin_slam_tpu.eval.traj import absolute_error, relative_error
+            from pin_slam_tpu.eval.traj import (absolute_error, plot_trajectories,
+                                               relative_error)
 
             gt = self.gt_poses[: len(poses)]
             ate_rmse, ate_rot = absolute_error(gt, poses, align=self.config.eval_traj_align)
@@ -248,6 +249,12 @@ class SLAMDataset:
                 w = csv.writer(f)
                 w.writerow(list(metrics.keys()))
                 w.writerow([f"{v:.6f}" for v in metrics.values()])
+            # 2-D + 3-D trajectory plots (ref slam_dataset.py:554-558)
+            plot_trajectories(run_path, poses, gt)
+        elif len(poses) > 1:
+            from pin_slam_tpu.eval.traj import plot_trajectories
+
+            plot_trajectories(run_path, poses)
         return metrics
 
 

@@ -81,3 +81,49 @@ def relative_error(gt_poses: np.ndarray, est_poses: np.ndarray,
     if not errs_t:
         return 0.0, 0.0
     return float(np.mean(errs_t) * 100.0), float(np.mean(errs_r))
+
+
+def plot_trajectories(run_path: str, est_poses: np.ndarray,
+                      gt_poses: np.ndarray = None) -> None:
+    """2-D (xy) and 3-D trajectory plot artifacts, estimate vs ground truth
+    (ref dataset/slam_dataset.py:554-558, eval/eval_traj_utils.py:233-297,
+    evo-free).  Writes ``traj_plot_2d.png`` and ``traj_plot_3d.png``."""
+    import os
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    est = np.asarray(est_poses)
+    xyz = est[:, :3, 3]
+    gt_xyz = np.asarray(gt_poses)[:, :3, 3] if gt_poses is not None else None
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    if gt_xyz is not None:
+        ax.plot(gt_xyz[:, 0], gt_xyz[:, 1], "--", color="gray", lw=1, label="ground truth")
+    ax.plot(xyz[:, 0], xyz[:, 1], "-", color="tab:blue", lw=1.2, label="estimate")
+    ax.plot(xyz[0, 0], xyz[0, 1], "k^", ms=6, label="start")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(run_path, "traj_plot_2d.png"), dpi=120)
+    plt.close(fig)
+
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(projection="3d")
+    if gt_xyz is not None:
+        ax.plot(gt_xyz[:, 0], gt_xyz[:, 1], gt_xyz[:, 2], "--", color="gray",
+                lw=1, label="ground truth")
+    ax.plot(xyz[:, 0], xyz[:, 1], xyz[:, 2], "-", color="tab:blue", lw=1.2,
+            label="estimate")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.set_zlabel("z (m)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(os.path.join(run_path, "traj_plot_3d.png"), dpi=120)
+    plt.close(fig)

@@ -746,6 +746,52 @@ def recreate_hash(state: MapState, mc: MapConfig, cur_ts: jax.Array,
     return state._replace(hash_table=hash_table)
 
 
+@partial(jax.jit, static_argnames=("mc", "prune_certainty_thre",
+                                   "downsample_table_size"))
+def finalize_map(state: MapState, mc: MapConfig, travel_dist: jax.Array,
+                 cur_ts: jax.Array, prune_certainty_thre: float,
+                 downsample_table_size: int = 1 << 21) -> MapState:
+    """End-of-run map finalization (ref pin_slam.py:360-361): merge duplicate
+    neural points (one survivor per voxel, preferring the most recently
+    created — ref model/neural_points.py:372-428 ``recreate_hash`` with
+    kept_points=False) and prune inactive low-certainty points
+    (ref model/neural_points.py:329-353).  Unlike the in-run ``prune_map``
+    tombstoning, this COMPACTS the survivors to the buffer front (the saved
+    map shrinks) and rebuilds the hash over them.
+    """
+    cap = mc.capacity
+    rows = jnp.arange(cap + 1, dtype=jnp.int32)
+    active = rows < state.count
+    if mc.use_mid_ts:
+        ts_used = (state.ts_create + state.ts_update) // 2
+    else:
+        ts_used = state.ts_create
+    ts_diff = jnp.abs(ts_used - cur_ts).astype(jnp.float32)
+    keep_voxel = voxel_down_sample_min_value_mask(
+        state.positions, active, mc.voxel_size, ts_diff, downsample_table_size)
+    diff_travel = jnp.abs(travel_dist[cur_ts] - state.attr_rows[:, C_TRU])
+    prune = (diff_travel > mc.travel_dist_window) \
+        & (state.certainties < prune_certainty_thre)
+    keep = active & keep_voxel & ~prune
+
+    perm = jnp.nonzero(keep, size=cap + 1, fill_value=cap)[0].astype(jnp.int32)
+    count = jnp.sum(keep, dtype=jnp.int32)
+    attr_rows = state.attr_rows[perm]
+    attr_rows = attr_rows.at[cap].set(_attr_sentinel_row())
+    in_count = rows < count
+    attr_rows = jnp.where(in_count[:, None], attr_rows,
+                          _attr_sentinel_row()[None, :])
+    geo_features = jnp.where(in_count[:, None], state.geo_features[perm], 0.0)
+    color_features = (jnp.where(in_count[:, None], state.color_features[perm], 0.0)
+                      if state.color_features is not None else None)
+
+    h = spatial_hash(grid_coords(attr_rows[:, C_POS], mc.voxel_size), mc.hash_size)
+    slot = jnp.where(in_count, h, mc.hash_size)
+    hash_table = jnp.full((mc.hash_size + 1,), cap, dtype=jnp.int32)
+    hash_table = hash_table.at[slot].set(jnp.where(in_count, rows, cap))
+    return MapState(attr_rows, geo_features, color_features, count, hash_table)
+
+
 @partial(jax.jit, static_argnames=("mc", "prune_certainty_thre"))
 def prune_map(state: MapState, mc: MapConfig, travel_dist: jax.Array, cur_ts: jax.Array,
               prune_certainty_thre: float) -> MapState:

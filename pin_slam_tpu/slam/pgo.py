@@ -213,6 +213,36 @@ class PoseGraphManager:
         self.drift_radius = d * drift_ratio
         return self.drift_radius
 
+    def plot_loops(self, path: str, vis_now: bool = False) -> None:
+        """Bird's-eye trajectory plot with loop-closure edges drawn in red
+        (ref utils/pgo.py:175-211)."""
+        if not self.nodes:
+            return
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        xyz = np.stack([T[:3, 3] for T in self.nodes])
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.plot(xyz[:, 0], xyz[:, 1], "-", color="tab:blue", lw=1,
+                label="trajectory")
+        loops = [e for e in self.edges if abs(e.j - e.i) > 1]
+        for e in loops:
+            ax.plot([xyz[e.i, 0], xyz[e.j, 0]], [xyz[e.i, 1], xyz[e.j, 1]],
+                    "-", color="tab:red", lw=0.8)
+        if loops:
+            ax.plot([], [], "-", color="tab:red", lw=0.8,
+                    label=f"{len(loops)} loop edges")
+        ax.set_aspect("equal")
+        ax.set_xlabel("x (m)")
+        ax.set_ylabel("y (m)")
+        ax.legend(fontsize=8)
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+
     def write_g2o(self, path: str) -> None:
         """(ref utils/pgo.py:159-160)."""
         from scipy.spatial.transform import Rotation

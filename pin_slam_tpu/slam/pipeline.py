@@ -191,6 +191,14 @@ class SlamSystem:
             per-sample kNN -> pool append (ref utils/mapper.py:110-321
             ``process_frame``; the kNN-at-append is the TPU redesign — see
             mapper.py pool-row layout note)."""
+            if not cfg.rand_downsample:
+                # the reference's DEFAULT preprocessing path voxel-downsamples
+                # the mapping cloud (ref dataset/slam_dataset.py:282-287 ->
+                # utils/tools.py:409-442); done on device as a keep-mask so the
+                # host preprocess stays a cheap crop+bucket
+                keep = voxel_down_sample_mask(points, valid, cfg.vox_down_m,
+                                              cfg.downsample_hash_size)
+                valid = valid & keep
             if cfg.dynamic_filter_on:
                 # dynamic-object filter: drop measurements lying in confidently
                 # observed free space (ref utils/mapper.py:79-108)
@@ -691,10 +699,24 @@ class SlamSystem:
         return metrics
 
     def save_artifacts(self, run_path: str) -> None:
-        """End-of-run artifacts (ref pin_slam.py:352-371): implicit map,
-        neural-point cloud, optional mesh, timing + memory instrumentation."""
+        """End-of-run artifacts (ref pin_slam.py:352-371): final pose graph,
+        map finalization (merge + prune), implicit map, neural-point cloud,
+        optional mesh, timing + memory instrumentation."""
         cfg = self.config
         os.makedirs(os.path.join(run_path, "map"), exist_ok=True)
+
+        # final pose graph + loop plot (ref pin_slam.py:355-358)
+        if self.pgm is not None and self.pgm.pgo_count > 0:
+            self.pgm.write_g2o(os.path.join(run_path, "final_pose_graph.g2o"))
+            self.pgm.plot_loops(os.path.join(run_path, "loop_plot.png"))
+
+        # merge duplicate neural points + prune uncertain ones for the final
+        # output (ref pin_slam.py:360-361)
+        self.state = npts.finalize_map(
+            self.state, self.mc, self._travel,
+            jnp.int32(max(self.frame_id - 1, 0)),
+            prune_certainty_thre=float(cfg.max_prune_certainty),
+            downsample_table_size=cfg.downsample_hash_size)
 
         # instrumentation artifacts in the reference's formats
         # (time_table.npy / memory_footprint.npy + stacked timing plot,

@@ -90,3 +90,48 @@ def test_merged_point_cloud_export(tmp_path, rng):
     assert pts.shape[0] > 1000
     # merged cloud spans the union of the transformed frames
     assert pts[:, 0].max() > 25.0
+
+
+def test_frame_voxel_downsample_in_pipeline(rng):
+    """The default (non-random) preprocessing path voxel-downsamples the
+    mapping cloud: at most one ray endpoint per vox_down_m cell reaches the
+    pool (ref dataset/slam_dataset.py:282-287 -> utils/tools.py:409-442)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pin_slam_tpu.slam import mapper as mp
+    from pin_slam_tpu.slam.pipeline import SlamSystem
+
+    cfg = Config()
+    cfg.pgo_on = False
+    cfg.silence = True
+    cfg.rand_downsample = False
+    cfg.vox_down_m = 0.2
+    cfg.map_capacity = 1 << 12
+    cfg.local_map_capacity = 1 << 11
+    cfg.buffer_size = 1 << 14
+    cfg.pool_capacity = 1 << 14
+    cfg.downsample_hash_size = 1 << 13
+    cfg.frame_bucket = 1 << 10
+    cfg.source_bucket = 1 << 9
+    cfg._derive()
+    system = SlamSystem(cfg)
+
+    # a dense wall patch: many points per 0.2 m voxel
+    n = 1 << 10
+    pts = np.column_stack([
+        np.full(n, 5.0) + rng.normal(0, 0.01, n),
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)]).astype(np.float32)
+    state, lm, pool = system._frame_update(
+        system.state, system.lm, system.pool, jax.random.PRNGKey(0),
+        jnp.asarray(pts), jnp.ones((n,), bool), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.int32(0), system._travel, None, None,
+        system.geo_params)
+
+    rows = np.asarray(pool.rows)
+    valid = (np.arange(rows.shape[0]) < int(pool.fill)) & (rows[:, mp.P_TS] >= 0)
+    endpoints = rows[valid & (np.abs(rows[:, mp.P_LABEL]) < 1e-6)][:, :3]
+    assert endpoints.shape[0] > 10
+    keys = np.unique(np.floor(endpoints / cfg.vox_down_m).astype(np.int64), axis=0)
+    assert keys.shape[0] == endpoints.shape[0], \
+        "more than one endpoint per vox_down_m voxel reached the pool"
