@@ -82,15 +82,17 @@ def main():
     # (a) frame_update alone
     fu = system._frame_update
 
-    def run_fu():
-        out = fu(system.state, system.lm, system.pool, key, points, valid,
-                 pose_R, pose_t, jnp.int32(system.frame_id), system._travel,
-                 None, None, system.geo_params)
+    def run_fu(rebuild=False):
+        out = fu(system.state, system.dilated, system.lm, system.pool, key,
+                 points, valid, pose_R, pose_t, jnp.int32(system.frame_id),
+                 system._travel, jnp.asarray(rebuild), None, None,
+                 system.geo_params)
         jax.block_until_ready(out)
         return out
 
-    print(f"frame_update (insert+blm+knn+pool)  {timeit(run_fu):8.2f} ms", flush=True)
-    state2, lm2, pool2 = run_fu()
+    print(f"frame_update (incremental dilated)  {timeit(run_fu):8.2f} ms", flush=True)
+    print(f"frame_update (rebuild dilated)      {timeit(lambda: run_fu(True)):8.2f} ms", flush=True)
+    state2, _dil2, lm2, pool2 = run_fu()
 
     # (b) mapping_loop_cached alone (local-table version)
     L = mc.local_capacity

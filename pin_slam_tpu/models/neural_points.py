@@ -66,6 +66,10 @@ class MapConfig:
     pos_encoding_freq: float = 200.0
     pos_encoding_base: float = 2.0
     use_gaussian_pe: bool = False
+    # dilated candidate table (one-gather kNN probe; see build_dilated below)
+    dilated_hash_size: int = 1 << 19
+    dilated_quat: bool = False    # store neighbor quaternions (needed once PGO
+    #                               deformation makes them non-identity)
 
     @property
     def assign_span(self) -> int:
@@ -79,6 +83,10 @@ class MapConfig:
 
     @staticmethod
     def from_config(cfg) -> "MapConfig":
+        if int(cfg.map_capacity) > (1 << 24):
+            # global indices ride f32 value-casts (hash rows, dilated table,
+            # pool kNN cache) — exact only below 2^24
+            raise ValueError("map_capacity must be <= 2^24 (f32 value-cast indices)")
         return MapConfig(
             capacity=cfg.map_capacity,
             local_capacity=cfg.local_map_capacity,
@@ -105,6 +113,14 @@ class MapConfig:
             local_hash_size=min(
                 1 << 20,
                 max(1 << 19, 1 << ((int(cfg.local_map_capacity) - 1).bit_length() + 3))),
+            # the dilated table is sized to the LOCAL region's occupied cells
+            # (it is rebuilt from the local map periodically); ~4x the local
+            # point capacity keeps per-column collision loss at the few-percent
+            # level while bounding memory at (Hd+1) * K * 20-36 B
+            dilated_hash_size=min(
+                1 << 20,
+                max(1 << 18, 1 << ((int(cfg.local_map_capacity) - 1).bit_length() + 2))),
+            dilated_quat=bool(cfg.pgo_on),
         )
 
 
@@ -280,12 +296,14 @@ def init_local_map(mc: MapConfig) -> LocalMap:
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("mc", "downsample_table_size", "insert_bucket"))
+@partial(jax.jit, static_argnames=("mc", "downsample_table_size", "insert_bucket",
+                                   "return_aux"))
 def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Array,
                cur_ts: jax.Array, travel_dist: jax.Array,
                rng: Optional[jax.Array] = None,
                downsample_table_size: int = 1 << 20,
-               insert_bucket: Optional[int] = None) -> MapState:
+               insert_bucket: Optional[int] = None,
+               return_aux: bool = False) -> MapState:
     """Insert new observations (ref model/neural_points.py:205-270 ``update``).
 
     points: (M,3) world-frame candidate points (padded); valid: (M,) bool.
@@ -369,7 +387,13 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
 
     new_count = state.count + jnp.sum(placed, dtype=jnp.int32)
 
-    return MapState(attr_rows, geo_features, color_features, new_count, hash_table)
+    out = MapState(attr_rows, geo_features, color_features, new_count, hash_table)
+    if return_aux:
+        # compacted insert rows (placed = a prefix of the bucket) for the
+        # caller's incremental dilated-table update
+        aux = (pts_c, start + jnp.arange(bucket, dtype=jnp.int32), trav_f, placed)
+        return out, aux
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -537,6 +561,135 @@ def compute_global2local(lm: LocalMap) -> np.ndarray:
     L = lm.geo_features.shape[0] - 1
     rank = np.cumsum(mask.astype(np.int64)) - 1
     return np.where(mask, np.minimum(rank, L), L).astype(np.int32)
+
+
+# ----------------------------------------------------------------------
+# dilated candidate table: ONE-gather kNN probes
+# ----------------------------------------------------------------------
+#
+# TPU row-gathers cost ~6.5 ns per gathered ROW nearly independent of row
+# width (measured; experiments/profile_scatter_gather.py), so the classic
+# per-sample hash probe — 33 narrow gathers per query, one per neighbor cell
+# (ref model/neural_points.py:459-509) — is the single most expensive op in
+# the mapping path (~53 ms for a 230k-sample frame).  The dilated table turns
+# the probe inside out: it is keyed by the QUERY cell, and its row holds the
+# full K-cell candidate neighborhood (position, global index, travel value,
+# and optionally quaternion per candidate), so a probe is ONE wide row-gather.
+#
+# Since the map keeps at most one point per voxel, column j of slot h(c) holds
+# exactly "the point in cell c + offsets[j]" — maintained by scattering each
+# point p (cell c_p) into (h(c_p + offsets[j]), j) for every j; the symmetric
+# offset template makes reader/writer coverage identical.  Hash collisions
+# between occupied cells silently drop a candidate (last writer wins); the
+# table is sized ~4x the local point count to keep that loss small, and every
+# surviving candidate is still validated by exact distance + travel window at
+# query time, so a collision only ever REMOVES a candidate, never corrupts one.
+#
+# The table is scoped to the LOCAL map (the only queryable set): rebuilt from
+# the local-map members every few frames (bounding staleness from points
+# leaving the travel/radius window) and updated incrementally with each
+# frame's inserts in between.  After PGO deformation the pipeline forces a
+# rebuild (positions/quats move).
+
+
+_DILATED_DIM_BASE = 5   # x, y, z, gidx (f32 value-cast, -1 = empty), travel
+
+
+def dilated_dim(mc: MapConfig) -> int:
+    return _DILATED_DIM_BASE + (4 if mc.dilated_quat else 0)
+
+
+def init_dilated(mc: MapConfig, n_offsets: int) -> jax.Array:
+    t = jnp.zeros((mc.dilated_hash_size + 1, n_offsets, dilated_dim(mc)), jnp.float32)
+    return t.at[..., 3].set(-1.0)
+
+
+def _dilated_scatter(dilated: jax.Array, mc: MapConfig, offsets: jax.Array,
+                     pos: jax.Array, gidx: jax.Array, trav: jax.Array,
+                     quat: Optional[jax.Array], active: jax.Array) -> jax.Array:
+    """Register points into the dilated table (see the section note).
+    pos (M,3) world f32, gidx (M,) i32, trav (M,), active (M,) bool."""
+    Hd = mc.dilated_hash_size
+    M, K = pos.shape[0], offsets.shape[0]
+    cells = grid_coords(pos, mc.voxel_size)                   # (M,3)
+    tgt = cells[:, None, :] + offsets[None, :, :]             # (M,K,3)
+    slot = jnp.where(active[:, None], spatial_hash(tgt, Hd), Hd)
+    parts = [pos, gidx.astype(jnp.float32)[:, None], trav[:, None]]
+    if mc.dilated_quat:
+        parts.append(quat)
+    row = jnp.concatenate(parts, axis=1)                      # (M, D)
+    rows = jnp.broadcast_to(row[:, None, :], (M, K, row.shape[1]))
+    col = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (M, K))
+    return dilated.at[slot, col].set(rows)
+
+
+def build_dilated(lm: LocalMap, mc: MapConfig, offsets: jax.Array,
+                  travel_dist: Optional[jax.Array] = None) -> jax.Array:
+    """Full rebuild from the current local-map members — the candidate set
+    then exactly matches ``knn_search`` over this local map (same radius /
+    travel-window / rank-cap membership)."""
+    L = mc.local_capacity
+    active = jnp.arange(L + 1, dtype=jnp.int32) < lm.count
+    pos = lm.attr_rows[:, C_POS]
+    trav = lm.attr_rows[:, C_TRC]
+    if mc.use_mid_ts and travel_dist is not None:
+        mid = ((lm.attr_rows[:, C_TSC] + lm.attr_rows[:, C_TSU]) / 2).astype(jnp.int32)
+        trav = travel_dist[mid]
+    quat = lm.attr_rows[:, C_QUAT] if mc.dilated_quat else None
+    fresh = init_dilated(mc, offsets.shape[0])
+    return _dilated_scatter(fresh, mc, offsets, pos, lm.indices, trav, quat, active)
+
+
+class DilatedKnn(NamedTuple):
+    gidx: jax.Array      # (B,k) i32 global neighbor indices, -1 = none
+    dist2: jax.Array     # (B,k) f32 exact squared distances (_INVALID for none)
+    nbr_pos: jax.Array   # (B,k,3) candidate positions (stale-free: write-time)
+    valid: jax.Array     # (B,k) bool
+    quat: Optional[jax.Array]  # (B,k,4) when mc.dilated_quat else None
+
+
+def dilated_knn(dilated: jax.Array, mc: MapConfig, points: jax.Array,
+                travel_now: jax.Array, k: int) -> DilatedKnn:
+    """kNN probe via the dilated table: ONE (B,)-row gather + exact ranking
+    (replaces the (B,K) 33-narrow-gather probe of ``knn_search`` on the
+    mapping append path)."""
+    Hd = mc.dilated_hash_size
+    h = spatial_hash(grid_coords(points, mc.voxel_size), Hd)  # (B,)
+    rows = dilated[h]                                         # (B,K,D) ONE gather
+    nbr = rows[..., :3]
+    gidx = rows[..., 3].astype(jnp.int32)
+    trav = rows[..., 4]
+    d = nbr - points[:, None, :]
+    dist2 = jnp.sum(d * d, axis=-1)
+    valid = ((gidx >= 0) & (dist2 <= mc.max_valid_dist2)
+             & (jnp.abs(travel_now - trav) < mc.travel_dist_window))
+    dist2 = jnp.where(valid, dist2, _INVALID_DIST2)
+    sel = exact_k_min(dist2, k)                               # (B,k)
+    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
+    gidx_k = take(jnp.where(valid, gidx, -1))
+    valid_k = take(valid)
+    dist2_k = take(dist2)
+    pos_k = jnp.take_along_axis(nbr, sel[..., None], axis=1)
+    quat_k = (jnp.take_along_axis(rows[..., 5:9], sel[..., None], axis=1)
+              if mc.dilated_quat else None)
+    return DilatedKnn(gidx=gidx_k, dist2=dist2_k, nbr_pos=pos_k,
+                      valid=valid_k, quat=quat_k)
+
+
+def exact_k_min(d2: jax.Array, k: int):
+    """Indices of the k smallest values along the last axis, ascending —
+    exact, via k iterative argmin passes (cheap VPU sweeps).  Replaces
+    ``jax.lax.approx_max_k`` where its PartialReduce lowering is slow
+    (measured 18 ms at (245760, 33) vs ~4 ms for the sweeps)."""
+    K = d2.shape[-1]
+    cols = jnp.arange(K, dtype=jnp.int32)
+    sel = []
+    d = d2
+    for _ in range(k):
+        j = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        sel.append(j)
+        d = jnp.where(cols == j[..., None], jnp.inf, d)
+    return jnp.stack(sel, axis=-1)
 
 
 # ----------------------------------------------------------------------

@@ -56,10 +56,19 @@ class MapperConfig:
     sem_class_count: int = 20
     window_radius: float = 60.0
     new_certainty_thre: float = 1.0
+    vec_dim: int = 3              # width of the cached blended offset vector
+    #                               (= encoded_dim(3, band) with pos encoding)
+
+    @property
+    def pool_dim(self) -> int:
+        return pool_dim(self.vec_dim)
 
     @staticmethod
     def from_config(cfg) -> "MapperConfig":
+        from pin_slam_tpu.ops.encodings import encoded_dim
         return MapperConfig(
+            vec_dim=encoded_dim(cfg.pos_input_dim, cfg.pos_encoding_band,
+                                cfg.use_gaussian_pe),
             pool_capacity=int(cfg.pool_capacity),
             new_idx_capacity=min(int(cfg.pool_capacity), 1 << 17),
             bs=cfg.bs,
@@ -85,28 +94,43 @@ class MapperConfig:
         )
 
 
-# Packed pool-row layout: the training batch gather touches ONE (P,16) array
-# (TPU gathers pay per ROW, almost independent of row width — measured
+# Packed pool-row layout: the training batch gather touches ONE (P, pool_dim)
+# array (TPU gathers pay per ROW, almost independent of row width — measured
 # ~6.5-12.6 ns/row vs 53 ms for the 33-cell per-sample hash probe).  Besides
-# the sample itself, each row CACHES the sample's kNN: the k=6 GLOBAL neighbor
-# indices, computed ONCE at append time instead of re-probing the voxel hash
-# for every training batch every iteration (the reference re-queries per
-# batch, utils/mapper.py:461 -> model/neural_points.py:459-509; on TPU that
-# probe was 53+18 ms per frame).  Neighbor positions/quaternions are NOT
-# cached: the training loop gathers them fresh from the cache-resident local
-# attribute table, so map deformation (PGO adjust_map) needs no pool refresh.
-# Neighbor SETS are frozen at append: points inserted near an existing sample
-# later do not join its set until the region is re-observed (the map
-# voxel-saturates within a few frames of first observation, so the staleness
-# window is short); a set member that leaves the local-map window maps to the
-# sentinel row, matching the reference's travel-window query filter.
-POOL_DIM = 16
+# the sample itself, each row CACHES the sample's full kNN GEOMETRY, computed
+# ONCE at append time from the dilated candidate table (the reference
+# re-queries per batch, utils/mapper.py:461 -> model/neural_points.py:459-509;
+# on TPU that probe was 53+18 ms per frame):
+#   * the k=6 GLOBAL neighbor indices (for the training feature gather, after
+#     a per-frame global->local rank remap),
+#   * the normalized IDW weights, and
+#   * the weight-blended (optionally encoded, optionally quat-rotated) offset
+#     vector — the geometric half of the decoder input.
+# Weights/vectors depend only on positions, which never move outside PGO/BA
+# deformation — the pipeline refreshes the cache (pool_refresh_cache) on those
+# events.  Neighbor SETS are frozen at append: points inserted near an
+# existing sample later do not join its set until the region is re-observed
+# (the map voxel-saturates within a few frames of first observation, so the
+# staleness window is short); a set member that leaves the local-map window
+# maps to the sentinel row at remap time (its feature contribution drops to
+# zero), matching the reference's travel-window query filter.
+POOL_DIM = 24           # for vec_dim=3 (no positional encoding); see pool_dim()
 P_COORD = slice(0, 3)   # world-frame sample coords
 P_LABEL = 3             # sdf label
 P_WEIGHT = 4            # weight (sign flags freespace)
 P_TS = 5                # frame id (f32 value-cast)
 P_LOCAL = slice(6, 9)   # sensor-frame coords (for BA/PGO re-transforms)
-P_KNN = slice(10, 16)   # k=6 GLOBAL neighbor indices (f32 value-cast, -1 = none)
+P_KNN = slice(9, 15)    # k=6 GLOBAL neighbor indices (f32 value-cast, -1 = none)
+P_W = slice(15, 21)     # cached normalized IDW weights of the k neighbors
+P_VEC0 = 21             # cached blended offset vector starts here (vec_dim wide)
+
+
+def pool_dim(vec_dim: int = 3) -> int:
+    return P_VEC0 + vec_dim
+
+
+def p_vec(vec_dim: int = 3) -> slice:
+    return slice(P_VEC0, P_VEC0 + vec_dim)
 
 
 class PoolState(NamedTuple):
@@ -148,7 +172,7 @@ class PoolState(NamedTuple):
 
 def init_pool(mcfg: MapperConfig, color_channel: int = 3) -> PoolState:
     P = mcfg.pool_capacity
-    rows = jnp.zeros((P + 1, POOL_DIM), jnp.float32)
+    rows = jnp.zeros((P + 1, mcfg.pool_dim), jnp.float32)
     rows = rows.at[:, P_KNN].set(-1.0)
     return PoolState(
         rows=rows,
@@ -161,51 +185,56 @@ def init_pool(mcfg: MapperConfig, color_channel: int = 3) -> PoolState:
     )
 
 
-def exact_k_min(d2: jax.Array, k: int):
-    """Indices of the k smallest values along the last axis, ascending —
-    exact, via k iterative argmin passes (cheap VPU sweeps).  Replaces
-    ``jax.lax.approx_max_k`` where its PartialReduce lowering is slow
-    (measured 18 ms at (245760, 33) vs ~4 ms for the sweeps)."""
-    K = d2.shape[-1]
-    cols = jnp.arange(K, dtype=jnp.int32)
-    sel = []
-    d = d2
-    for _ in range(k):
-        j = jnp.argmin(d, axis=-1).astype(jnp.int32)
-        sel.append(j)
-        d = jnp.where(cols == j[..., None], jnp.inf, d)
-    return jnp.stack(sel, axis=-1)
+exact_k_min = npts.exact_k_min   # canonical home: models/neural_points.py
 
 
-def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array):
-    """kNN of one frame's samples at append time: probe the local voxel hash,
-    rank by exact distance, return GLOBAL neighbor indices (M, k), -1 = none.
-    One probe per sample per LIFETIME instead of per training batch (see the
-    pool-row layout note above).
+def idw_blend(points: jax.Array, nbr_pos: jax.Array, valid: jax.Array,
+              quat: Optional[jax.Array] = None, pos_encode=None,
+              idw_eps: float = 1e-15):
+    """Normalized IDW weights + weight-blended (encoded) offset vector at
+    fixed neighbor positions — the pure-geometry half of the reference's
+    ``query_feature`` (model/neural_points.py:574-632), shared by the
+    append-time cache fill, the post-PGO cache refresh, and the eikonal
+    stencil inside the training scan.
 
-    Runs right after this frame's ``map_insert`` + ``build_local_map``, so the
-    frame's own surface points are already in the index (matching the
-    reference's query-after-update ordering, utils/mapper.py:163-176,461).
-    """
-    from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
-
-    L = mc.local_capacity
-    grid = grid_coords(coords, mc.voxel_size)
-    cells = grid[:, None, :] + offsets[None, :, :]
-    h = spatial_hash(cells, mc.local_hash_size)
-    rows = lm.hash_rows[h]                                 # (M,K,4) probe
-    nbr = rows[..., :3]
-    lidx = rows[..., 3].astype(jnp.int32)
-    d = nbr - coords[:, None, :]
-    dist2 = jnp.sum(d * d, axis=-1)
-    valid = (lidx < L) & (dist2 <= mc.max_valid_dist2)
+    points (...,3), nbr_pos (...,k,3), valid (...,k), quat (...,k,4) or None
+    (per-neighbor offset rotation, identity until PGO deformation,
+    ref model/neural_points.py:606-607).  Returns (w (...,k), vec_blend)."""
+    vec = points[..., None, :] - nbr_pos
+    dist2 = jnp.sum(vec * vec, axis=-1)
     dist2 = jnp.where(valid, dist2, npts._INVALID_DIST2)
+    if quat is not None:
+        vec = apply_quaternion_rotation(quat, vec)
+    vec = jnp.where(valid[..., None], vec, 0.0)
+    w = 1.0 / (dist2 + idw_eps)
+    w = jnp.where(valid, w, 0.0)
+    nn_any = jnp.any(valid, axis=-1, keepdims=True)
+    w = jnp.where(nn_any, w, idw_eps)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.where(valid, w, 0.0)
+    enc = pos_encode(vec) if pos_encode is not None else vec
+    vec_blend = jnp.einsum("...k,...kp->...p", w, enc)
+    return w, vec_blend
 
+
+def append_knn(dilated: jax.Array, mc, offsets: jax.Array, coords: jax.Array,
+               travel_now: jax.Array, pos_encode=None):
+    """kNN + cached geometry of one frame's samples at append time: ONE wide
+    row-gather from the dilated candidate table, exact distance ranking, IDW
+    weights and the blended offset vector (see the pool-row layout note).
+    One probe per sample per LIFETIME instead of per training batch.
+
+    Runs right after this frame's ``map_insert`` + dilated update, so the
+    frame's own surface points are already candidates (matching the
+    reference's query-after-update ordering, utils/mapper.py:163-176,461).
+
+    Returns (gidx (M,k) i32, w (M,k), vec_blend (M,vec_dim)).
+    """
     k = min(mc.nn_k, offsets.shape[0])
-    sel = exact_k_min(dist2, k)                            # (M,k)
-    lidx_k = jnp.take_along_axis(jnp.where(valid, lidx, L), sel, axis=1)
-    ok = lidx_k < L
-    return jnp.where(ok, lm.indices[jnp.minimum(lidx_k, L)], -1)
+    res = npts.dilated_knn(dilated, mc, coords, travel_now, k)
+    w, vec_blend = idw_blend(coords, res.nbr_pos, res.valid, res.quat,
+                             pos_encode, mc.idw_eps)
+    return res.gidx, w, vec_blend
 
 
 @partial(jax.jit, static_argnames=("mcfg",))
@@ -215,10 +244,12 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
                 new_mask: jax.Array,
                 sem_label: Optional[jax.Array] = None,
                 color_label: Optional[jax.Array] = None,
-                knn_gidx: Optional[jax.Array] = None) -> PoolState:
+                knn_gidx: Optional[jax.Array] = None,
+                knn_w: Optional[jax.Array] = None,
+                knn_vec: Optional[jax.Array] = None) -> PoolState:
     """Ring-buffer append of one frame's samples (ref utils/mapper.py:185-199).
 
-    TPU-first: the frame's rows are PACKED first (one (M,40) build), then
+    TPU-first: the frame's rows are PACKED first (one wide build), then
     valid rows are compacted to the bucket front with ONE wide row-gather and
     written as ONE contiguous ``dynamic_update_slice`` — no row scatters and
     no per-column gathers.  The head advances by the VALID count, so the pool
@@ -230,7 +261,8 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
 
     ``new_mask`` flags low-certainty close-to-surface samples for boosted
     sampling (ref utils/mapper.py:274-310); their pool indices are recorded.
-    ``knn_gidx``: per-sample cached kNN global indices from ``append_knn``.
+    ``knn_gidx`` / ``knn_w`` / ``knn_vec``: the per-sample cached kNN from
+    ``append_knn`` (see the pool-row layout note).
     """
     P = mcfg.pool_capacity
     n = coord_world.shape[0]
@@ -243,13 +275,17 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
     kk = knn_gidx.shape[1]
 
     # pack the frame bucket, THEN compact with one wide row-gather
-    built = jnp.zeros((n, POOL_DIM), jnp.float32)
+    built = jnp.zeros((n, mcfg.pool_dim), jnp.float32)
     built = built.at[:, P_COORD].set(coord_world.astype(jnp.float32))
     built = built.at[:, P_LABEL].set(sdf_label)
     built = built.at[:, P_WEIGHT].set(weight)
     built = built.at[:, P_TS].set(cur_ts.astype(jnp.float32))
     built = built.at[:, P_LOCAL].set(coord_local.astype(jnp.float32))
-    built = built.at[:, 10:10 + kk].set(knn_gidx.astype(jnp.float32))
+    built = built.at[:, 9:9 + kk].set(knn_gidx.astype(jnp.float32))
+    if knn_w is not None:
+        built = built.at[:, 15:15 + kk].set(knn_w)
+    if knn_vec is not None:
+        built = built.at[:, P_VEC0:P_VEC0 + knn_vec.shape[1]].set(knn_vec)
 
     perm = jnp.nonzero(valid, size=n, fill_value=n)[0].astype(jnp.int32)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
@@ -297,7 +333,8 @@ def pool_filter(pool: PoolState, mcfg: MapperConfig, origin: jax.Array) -> PoolS
     perm = jnp.nonzero(keep, size=P + 1, fill_value=P)[0].astype(jnp.int32)
     count = jnp.sum(keep, dtype=jnp.int32)
     rows = pool.rows[perm]
-    rows = rows.at[P].set(jnp.zeros((POOL_DIM,), jnp.float32).at[P_KNN].set(-1.0))
+    rows = rows.at[P].set(
+        jnp.zeros((mcfg.pool_dim,), jnp.float32).at[P_KNN].set(-1.0))
     return pool._replace(
         rows=rows,
         sem_label=pool.sem_label[perm] if pool.sem_label is not None else None,
@@ -315,6 +352,30 @@ def pool_retransform(pool: PoolState, poses: jax.Array) -> PoolState:
     T = poses[jnp.maximum(pool.ts, 0)]
     coord = jnp.einsum("nij,nj->ni", T[:, :3, :3], pool.local_coord) + T[:, :3, 3]
     return pool._replace(rows=pool.rows.at[:, P_COORD].set(coord))
+
+
+@partial(jax.jit, static_argnames=("mc", "pos_encode"))
+def pool_refresh_cache(pool: PoolState, state_attr_rows: jax.Array,
+                       mc, pos_encode=None) -> PoolState:
+    """Recompute every pool row's cached kNN geometry (weights + blended
+    offset vector) from the CURRENT global point positions/quaternions —
+    called after PGO map deformation or BA pose refinement has moved either
+    the neural points or the samples (the neighbor SETS stay frozen; the
+    reference instead re-queries per batch and so picks the deformation up
+    implicitly, model/neural_points.py:574-632 after adjust_map)."""
+    cap = mc.capacity
+    gidx = pool.rows[:, P_KNN].astype(jnp.int32)            # (P+1, k)
+    safe = jnp.where(gidx >= 0, jnp.minimum(gidx, cap), cap)
+    rows = state_attr_rows[safe]                            # (P+1, k, 16)
+    nbr_pos = rows[..., :3]
+    quat = rows[..., 3:7] if mc.dilated_quat else None
+    coord = pool.rows[:, P_COORD]
+    d = nbr_pos - coord[:, None, :]
+    valid = (gidx >= 0) & (jnp.sum(d * d, axis=-1) <= mc.max_valid_dist2)
+    w, vec_blend = idw_blend(coord, nbr_pos, valid, quat, pos_encode, mc.idw_eps)
+    new_rows = pool.rows.at[:, P_W].set(w)
+    new_rows = new_rows.at[:, P_VEC0:P_VEC0 + vec_blend.shape[-1]].set(vec_blend)
+    return pool._replace(rows=new_rows)
 
 
 # ----------------------------------------------------------------------
@@ -778,15 +839,19 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     production path (ref utils/mapper.py:425-593 ``mapping``).
 
     Design (see the pool-row layout note): every batch row carries its k=6
-    global neighbor indices + positions, so an iteration is pure dense math +
-    one feature gather + one backward scatter — no hash probe and no neighbor
-    attribute gathers.  The cached GLOBAL indices are remapped to LOCAL rows
+    global neighbor indices PLUS the precomputed IDW weights and blended
+    offset vector, so an iteration is pure dense math + one feature gather +
+    one backward scatter — no hash probe, no neighbor attribute gathers, no
+    per-batch geometry.  The cached GLOBAL indices are remapped to LOCAL rows
     once per frame (one narrow gather from a dense rank table): training
     still operates on the compact (L+1, F+1) LOCAL feature table, which is
     cache-resident — measured 6x faster for both the scan's gather and its
     backward scatter than the (cap+1) global table.  Neighbors outside the
-    current local-map window map to the sentinel row, which matches the
+    current local-map window map to the sentinel row (their cached weight is
+    zeroed, their feature contribution drops out), which matches the
     reference's travel-window query filter (model/neural_points.py:480-488).
+    Only the eikonal stencil still touches neighbor positions — for the
+    DECIMATED subset only, one small gather per frame.
 
     ``params.features`` is the (L+1, F+1) local feature table where column
     F is the CERTAINTY CHANNEL: a loss term ``sum(w * feats[:, F])`` makes the
@@ -811,7 +876,7 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     # ---- all iterations' batches at once: ONE wide row gather ----
     idx_all = _sample_batch_indices(key, pool, mcfg, use_new, num_iters)  # (T,B)
     flat_idx = idx_all.reshape(-1)
-    rows = pool.rows[flat_idx]                            # (T*B, 40)
+    rows = pool.rows[flat_idx]                            # (T*B, pool_dim)
     coord = rows[:, P_COORD]
     labels = rows[:, P_LABEL].reshape(T, B)
     weights = jnp.abs(rows[:, P_WEIGHT]).reshape(T, B)
@@ -830,35 +895,21 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     # into touched points after the scan (see the fold below)
     ts_proxy = jnp.max(jnp.where(in_pool, ts_flat.reshape(T, B), 0.0))
 
-    def geometry(coords, valid, nbr_pos, quat):
-        vec = coords[..., None, :] - nbr_pos
-        dist2 = jnp.sum(vec * vec, axis=-1)
-        dist2 = jnp.where(valid, dist2, npts._INVALID_DIST2)
-        if after_pgo:
-            vec = apply_quaternion_rotation(quat, vec)
-        vec = jnp.where(valid[..., None], vec, 0.0)
-        w = 1.0 / (dist2 + 1e-15)
-        w = jnp.where(valid, w, 0.0)
-        nn_any = jnp.any(valid, axis=-1, keepdims=True)
-        w = jnp.where(nn_any, w, 1e-15)
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
-        w = jnp.where(valid, w, 0.0)
-        enc = pos_encode(vec) if pos_encode is not None else vec
-        vec_blend = jnp.einsum("...k,...kp->...p", w, enc)
-        return w, vec_blend
-
-    # neighbor positions (and, after loop closures, quaternions) come from
-    # ONE gather of the cache-resident local attribute table
-    pose_rows = lm.attr_rows[safe_g]                      # (T*B, k, 16)
-    npos = pose_rows[..., :3]
-    quat = pose_rows[..., 3:7] if after_pgo else None
-    w, vec_blend = geometry(coord, valid_k, npos, quat)
+    # cached geometry (computed once at append time; refreshed on PGO/BA
+    # deformation).  A neighbor that has since LEFT the local-map window gets
+    # its weight zeroed (feature contribution drops out, like the reference's
+    # travel filter); the remaining weights keep their append-time
+    # normalization, consistent with the cached blended offset vector.
+    w = jnp.where(valid_k, rows[:, P_W], 0.0)             # (T*B, k)
+    vec_blend = rows[:, P_VEC0:]
 
     sem_lab = pool.sem_label[idx_all] if (mcfg.semantic_on and params.sem is not None) else None
     col_lab = pool.color_label[flat_idx].reshape(T, B, -1) \
         if (mcfg.color_on and params.color is not None) else None
 
-    # ---- eikonal stencil geometry: shares the base points' kNN sets ----
+    # ---- eikonal stencil geometry: shares the base points' kNN sets, but
+    # needs fresh per-stencil distances -> ONE small neighbor-position gather
+    # over the decimated subset (ref utils/mapper.py:683-733) ----
     if eik:
         coord_r = coord.reshape(T, B, 3)[:, :n_grad]
         eps_mat = jnp.eye(3, dtype=coord.dtype) * mcfg.num_grad_step
@@ -866,14 +917,17 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
             [coord_r[:, None] + eps_mat[None, :, None, :],
              coord_r[:, None] - eps_mat[None, :, None, :]], axis=1)  # (T,6,n,3)
         valid_b = valid_k.reshape(T, B, k)[:, :n_grad]
-        nbr_b = npos.reshape(T, B, k, 3)[:, :n_grad]
-        quat_b = (quat.reshape(T, B, k, 4)[:, :n_grad] if after_pgo else None)
-        w_st, vecb_st = geometry(
+        sg_b = safe_g.reshape(T, B, k)[:, :n_grad]        # (T,n,k) local rows
+        pose_b = lm.attr_rows[sg_b]                       # (T,n,k,16) small gather
+        nbr_b = pose_b[..., :3]
+        quat_b = pose_b[..., 3:7] if after_pgo else None
+        w_st, vecb_st = idw_blend(
             stencil,
-            jnp.broadcast_to(valid_b[:, None], (T, 6, n_grad, k)),
             jnp.broadcast_to(nbr_b[:, None], (T, 6, n_grad, k, 3)),
+            jnp.broadcast_to(valid_b[:, None], (T, 6, n_grad, k)),
             jnp.broadcast_to(quat_b[:, None], (T, 6, n_grad, k, 4))
-            if after_pgo else None)
+            if after_pgo else None,
+            pos_encode, mc.idw_eps)
         vecb_st = vecb_st.reshape(T, 6 * n_grad, -1)
     else:
         w_st = jnp.zeros((T, 0, 0, k), jnp.float32)

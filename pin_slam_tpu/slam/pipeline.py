@@ -81,6 +81,8 @@ class SlamSystem:
 
         self.state = npts.init_map_state(self.mc)
         self.lm = npts.init_local_map(self.mc)
+        self.dilated = npts.init_dilated(self.mc, int(self.offsets.shape[0]))
+        self._force_dilated_rebuild = True     # frame 0 builds from scratch
         self.pool = mp.init_pool(self.mcfg, color_channel=max(config.color_channel, 1))
         self.after_pgo = False
         self.sdf_scale = config.sdf_scale
@@ -118,6 +120,17 @@ class SlamSystem:
     def _build_jitted(self):
         cfg, mc, mcfg, sc, tc = self.config, self.mc, self.mcfg, self.sc, self.tc
         offsets = self.offsets
+
+        if cfg.pos_encoding_band > 0:
+            from pin_slam_tpu.ops.encodings import positional_encode
+
+            def pos_encode_fn(vec):
+                return positional_encode(vec, cfg.pos_encoding_band,
+                                         float(cfg.pos_encoding_freq),
+                                         float(cfg.pos_encoding_base),
+                                         cfg.use_gaussian_pe)
+        else:
+            pos_encode_fn = None
 
         def source_prep(points, valid, colors):
             """Coarse voxel downsample of the registration source cloud
@@ -185,12 +198,15 @@ class SlamSystem:
             return (packed, R_sel, t_sel_w, ok, tran_sel,
                     src, src_valid, nrm, nrm_valid)
 
-        def frame_update(state, lm, pool, key, points, valid, pose_R, pose_t,
-                         frame_id, travel, sem_labels, colors, geo_params):
-            """Stage IV-a: sample -> insert -> local map -> new flags ->
-            per-sample kNN -> pool append (ref utils/mapper.py:110-321
-            ``process_frame``; the kNN-at-append is the TPU redesign — see
-            mapper.py pool-row layout note)."""
+        def frame_update(state, dilated, lm, pool, key, points, valid, pose_R,
+                         pose_t, frame_id, travel, rebuild, sem_labels, colors,
+                         geo_params):
+            """Stage IV-a: sample -> insert (+ incremental dilated-table
+            update) -> local map -> (periodic) dilated rebuild -> new flags ->
+            per-sample one-gather kNN + cached geometry -> pool append
+            (ref utils/mapper.py:110-321 ``process_frame``; the kNN-at-append
+            via the dilated candidate table is the TPU redesign — see the
+            mapper pool-row layout note and neural_points' dilated section)."""
             if not cfg.rand_downsample:
                 # the reference's DEFAULT preprocessing path voxel-downsamples
                 # the mapping cloud (ref dataset/slam_dataset.py:282-287 ->
@@ -224,36 +240,49 @@ class SlamSystem:
             surf_mask = vld_surf & (
                 jnp.abs(lbl_surf)
                 < cfg.surface_sample_range_m * cfg.map_surface_ratio)
-            state = npts.map_insert(state, mc, cw_surf, surf_mask, frame_id,
-                                    travel,
-                                    downsample_table_size=cfg.downsample_hash_size,
-                                    insert_bucket=min(cfg.frame_bucket,
-                                                      cw_surf.shape[0]))
+            state, ins_aux = npts.map_insert(
+                state, mc, cw_surf, surf_mask, frame_id, travel,
+                downsample_table_size=cfg.downsample_hash_size,
+                insert_bucket=min(cfg.frame_bucket, cw_surf.shape[0]),
+                return_aux=True)
             lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
+
+            # dilated candidate table: periodic full rebuild from the fresh
+            # local map (bounds staleness + hash-collision loss), incremental
+            # scatter of this frame's inserts otherwise.  The incremental
+            # width is bounded (scatter cost is per ROW x K cells); a frame
+            # inserting more than the bound triggers a full rebuild instead,
+            # decided ON DEVICE so no host sync is needed.
+            ins_pos, ins_gidx, ins_trav, ins_placed = ins_aux
+            db = min(8192, ins_pos.shape[0])
+            ins_quat = (jnp.zeros((db, 4), jnp.float32).at[:, 0].set(1.0)
+                        if mc.dilated_quat else None)
+            n_ins = jnp.sum(ins_placed, dtype=jnp.int32)
+            dilated = jax.lax.cond(
+                rebuild | (n_ins > db),
+                lambda d: npts.build_dilated(lm, mc, offsets, travel),
+                lambda d: npts._dilated_scatter(d, mc, offsets, ins_pos[:db],
+                                                ins_gidx[:db], ins_trav[:db],
+                                                ins_quat, ins_placed[:db]),
+                dilated)
+
+            travel_now = travel[frame_id]
             new_mask = mp.compute_new_sample_mask(lm, mc, mcfg, coord_world,
                                                   batch.sdf_label, batch.valid)
-            knn_g = mp.append_knn(lm, mc, offsets, coord_world)
+            knn_g, knn_w, knn_vec = mp.append_knn(dilated, mc, offsets,
+                                                  coord_world, travel_now,
+                                                  pos_encode_fn)
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
                                   batch.sdf_label, batch.weight, batch.valid,
                                   frame_id, new_mask, batch.sem_label,
-                                  batch.color_label, knn_g)
-            return state, lm, pool
+                                  batch.color_label, knn_g, knn_w, knn_vec)
+            return state, dilated, lm, pool
 
-        if cfg.pos_encoding_band > 0:
-            from pin_slam_tpu.ops.encodings import positional_encode
-
-            def pos_encode_fn(vec):
-                return positional_encode(vec, cfg.pos_encoding_band,
-                                         float(cfg.pos_encoding_freq),
-                                         float(cfg.pos_encoding_base),
-                                         cfg.use_gaussian_pe)
-        else:
-            pos_encode_fn = None
-
-        @partial(jax.jit, donate_argnums=(0, 1, 2, 5), static_argnums=(17,))
-        def update_and_train(state, lm, pool, key, decoders, travel, stop_count,
-                             points, valid, pose_R, pose_t, track_ok, tran_sel,
-                             frame_id, sem_labels, colors, dec_scale, after_pgo):
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 6), static_argnums=(19,))
+        def update_and_train(state, dilated, lm, pool, key, decoders, travel,
+                             stop_count, points, valid, pose_R, pose_t,
+                             track_ok, tran_sel, frame_id, rebuild,
+                             sem_labels, colors, dec_scale, after_pgo):
             """Stages IV-a + IV-b fused into ONE device program per frame:
             travel-dist update, sampling/insert/local-map/pool, ``cfg.iters``
             Adam iterations, and the trained-feature write-back
@@ -278,9 +307,9 @@ class SlamSystem:
             use_new = track_ok & ~(stop_count > cfg.stop_frame_thre)
             valid_t = valid & track_ok
 
-            state, lm2, pool = frame_update(state, lm, pool, k_sample, points,
-                                            valid_t, pose_R, pose_t, frame_id,
-                                            travel, sem_labels, colors, geo_p)
+            state, dilated, lm2, pool = frame_update(
+                state, dilated, lm, pool, k_sample, points, valid_t, pose_R,
+                pose_t, frame_id, travel, rebuild, sem_labels, colors, geo_p)
             # ---- training with pool-cached kNN on the compact local feature
             # table + certainty channel (mapper.mapping_loop_cached) ----
             L = mc.local_capacity
@@ -303,7 +332,7 @@ class SlamSystem:
             lm_out = pick(lm3, lm2)
             params_out = pick(params2, params)
             state = npts.assign_local_to_global(state, lm_out, mc, travel)
-            return (state, lm_out, pool, params_out, opt_state, travel,
+            return (state, dilated, lm_out, pool, params_out, opt_state, travel,
                     stop_count, loss_hist)
 
         @partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
@@ -325,6 +354,7 @@ class SlamSystem:
         self._frame_update = jax.jit(frame_update)   # kept for tests/tools
         self._update_and_train = update_and_train
         self._extra_train = extra_train
+        self._pos_encode_fn = pos_encode_fn
 
     def process_frame(self, frame: Frame) -> dict:
         """Run stages I-IV of the reference loop (pin_slam.py:96-269).
@@ -442,13 +472,16 @@ class SlamSystem:
         col = jnp.asarray(frame.colors) if frame.colors is not None else None
 
         dec_scale = jnp.float32(0.0 if self.frame_id >= cfg.freeze_after_frame else 1.0)
+        rebuild = (self._force_dilated_rebuild
+                   or self.frame_id % max(cfg.dilated_rebuild_freq, 1) == 0)
+        self._force_dilated_rebuild = False
 
-        (self.state, self.lm, self.pool, params, opt_state, self._travel,
-         self._stop_count, loss_hist) = self._update_and_train(
-            self.state, self.lm, self.pool, k_frame,
+        (self.state, self.dilated, self.lm, self.pool, params, opt_state,
+         self._travel, self._stop_count, loss_hist) = self._update_and_train(
+            self.state, self.dilated, self.lm, self.pool, k_frame,
             (self.geo_params, self.sem_params, self.color_params), self._travel,
             self._stop_count, points, valid, R_sel, t_w, ok_dev, tran_dev,
-            jnp.int32(self.frame_id), sem, col,
+            jnp.int32(self.frame_id), jnp.asarray(rebuild), sem, col,
             dec_scale, bool(self.after_pgo))
 
         if tracked and not conservative:
@@ -541,6 +574,10 @@ class SlamSystem:
         poses_new = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
         poses_new[:n_poses] = np.stack(poses_list).astype(np.float32)
         self.pool = mp.pool_retransform(self.pool, jnp.asarray(poses_new))
+        # sample coords moved -> refresh the cached kNN geometry (the map
+        # points themselves did not move in BA, so no dilated rebuild needed)
+        self.pool = mp.pool_refresh_cache(self.pool, self.state.attr_rows,
+                                          self.mc, self._pos_encode_fn)
 
     # ------------------------------------------------------------------
     def _loop_closure_stage(self, info: dict) -> None:
@@ -671,6 +708,11 @@ class SlamSystem:
         poses_full = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
         poses_full[: new_poses.shape[0]] = new_poses.astype(np.float32)
         self.pool = mp.pool_retransform(self.pool, jnp.asarray(poses_full))
+        # both the samples and the neural points moved: recompute the cached
+        # kNN geometry and rebuild the dilated table at the next frame
+        self.pool = mp.pool_refresh_cache(self.pool, self.state.attr_rows,
+                                          self.mc, self._pos_encode_fn)
+        self._force_dilated_rebuild = True
 
         self.dataset.update_poses_after_pgo(new_poses)
         self.cur_pose = new_poses[fid].copy()
