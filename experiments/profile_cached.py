@@ -86,8 +86,10 @@ def main():
     coord_world = batch.coord @ pose_R.T + pose_t
     jax.block_until_ready(coord_world)
 
-    ak = jax.jit(lambda c: mp.append_knn(lm, mc, offsets, c))
-    print(f"append_knn                  {timeit(lambda: jax.block_until_ready(ak(coord_world))):8.2f} ms", flush=True)
+    ak = jax.jit(lambda c: mp.append_knn(
+        lm, mc, offsets, c, sc.ray_sample_count,
+        near_count=1 + sc.surface_sample_n))
+    print(f"append_knn (grouped)        {timeit(lambda: jax.block_until_ready(ak(coord_world))):8.2f} ms", flush=True)
 
     # append_knn internals
     from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash

@@ -82,17 +82,15 @@ def main():
     # (a) frame_update alone
     fu = system._frame_update
 
-    def run_fu(rebuild=False):
-        out = fu(system.state, system.dilated, system.lm, system.pool, key,
-                 points, valid, pose_R, pose_t, jnp.int32(system.frame_id),
-                 system._travel, jnp.asarray(rebuild), None, None,
-                 system.geo_params)
+    def run_fu():
+        out = fu(system.state, system.lm, system.pool, key, points, valid,
+                 pose_R, pose_t, jnp.int32(system.frame_id), system._travel,
+                 None, None, system.geo_params)
         jax.block_until_ready(out)
         return out
 
-    print(f"frame_update (incremental dilated)  {timeit(run_fu):8.2f} ms", flush=True)
-    print(f"frame_update (rebuild dilated)      {timeit(lambda: run_fu(True)):8.2f} ms", flush=True)
-    state2, _dil2, lm2, pool2 = run_fu()
+    print(f"frame_update (grouped probe)        {timeit(run_fu):8.2f} ms", flush=True)
+    state2, lm2, pool2 = run_fu()
 
     # (b) mapping_loop_cached alone (local-table version)
     L = mc.local_capacity
@@ -110,6 +108,19 @@ def main():
 
     for n in (1, 15):
         print(f"mapping_loop_cached n={n:<3}           {timeit(lambda: run_ml(n)):8.2f} ms", flush=True)
+
+    # eikonal off: isolates the stencil's share of the scan
+    import dataclasses as _dc
+    mcfg_ne = _dc.replace(mcfg, ekional_loss_on=False)
+
+    def run_ml_ne(n):
+        out = mp.mapping_loop_cached(lm2, mc, params, opt_state, pool2, mcfg_ne,
+                                     key, jnp.float32(1.0), jnp.asarray(True),
+                                     num_iters=n, after_pgo=False)
+        jax.block_until_ready(out)
+
+    for n in (1, 15):
+        print(f"mapping_loop_cached NOEIK n={n:<3}     {timeit(lambda: run_ml_ne(n)):8.2f} ms", flush=True)
 
     # (c) assign_local_to_global
     def run_as():

@@ -295,8 +295,10 @@ class Config:
         self.insert_bucket: int = 1 << 16         # padded per-frame map-insert batch
         self.downsample_hash_size: int = 1 << 20  # scratch hash for voxel downsampling
         self.mesh_query_bucket: int = 1 << 18     # padded chunk for mesh grid queries
-        self.dilated_rebuild_freq: int = 8        # frames between full rebuilds of
-        #                                           the dilated kNN candidate table
+        # data-parallel devices for the mapping loop + mesh queries (1 = off;
+        # >1 requires that many visible JAX devices — batch sharded over a
+        # jax.sharding.Mesh, map/decoder replicated, grad psum over ICI)
+        self.dp_devices: int = 1
         # syncing per-frame loss scalars to host costs a device round trip per
         # frame; disable for benchmarking / production runs
         self.log_loss_per_frame: bool = True
@@ -437,7 +439,7 @@ class Config:
         "tpu": {k: k for k in (
             "map_capacity", "local_map_capacity", "frame_bucket", "source_bucket",
             "insert_bucket", "downsample_hash_size", "mesh_query_bucket",
-            "mesh_shape", "buffer_size", "dilated_rebuild_freq")},
+            "mesh_shape", "buffer_size", "dp_devices")},
     }
 
     def load(self, config_file: str) -> "Config":

@@ -66,10 +66,6 @@ class MapConfig:
     pos_encoding_freq: float = 200.0
     pos_encoding_base: float = 2.0
     use_gaussian_pe: bool = False
-    # dilated candidate table (one-gather kNN probe; see build_dilated below)
-    dilated_hash_size: int = 1 << 19
-    dilated_quat: bool = False    # store neighbor quaternions (needed once PGO
-    #                               deformation makes them non-identity)
 
     @property
     def assign_span(self) -> int:
@@ -84,8 +80,8 @@ class MapConfig:
     @staticmethod
     def from_config(cfg) -> "MapConfig":
         if int(cfg.map_capacity) > (1 << 24):
-            # global indices ride f32 value-casts (hash rows, dilated table,
-            # pool kNN cache) — exact only below 2^24
+            # global indices ride f32 value-casts (hash rows, pool kNN cache)
+            # — exact only below 2^24
             raise ValueError("map_capacity must be <= 2^24 (f32 value-cast indices)")
         return MapConfig(
             capacity=cfg.map_capacity,
@@ -113,14 +109,6 @@ class MapConfig:
             local_hash_size=min(
                 1 << 20,
                 max(1 << 19, 1 << ((int(cfg.local_map_capacity) - 1).bit_length() + 3))),
-            # the dilated table is sized to the LOCAL region's occupied cells
-            # (it is rebuilt from the local map periodically); ~4x the local
-            # point capacity keeps per-column collision loss at the few-percent
-            # level while bounding memory at (Hd+1) * K * 20-36 B
-            dilated_hash_size=min(
-                1 << 20,
-                max(1 << 18, 1 << ((int(cfg.local_map_capacity) - 1).bit_length() + 2))),
-            dilated_quat=bool(cfg.pgo_on),
         )
 
 
@@ -143,6 +131,7 @@ def neighbor_offsets(num_nei_cells: int, search_alpha: float) -> np.ndarray:
 # value-cast f32 (exact below 2^24 frames); travel distances are stored as
 # VALUES at write time so no ``travel_dist[ts]`` mega-gather is ever needed.
 ATTR_DIM = 16
+HASH_ROW_DIM = 8           # local-hash row: [x, y, z, lidx, gidx, pad x3]
 C_POS = slice(0, 3)        # x, y, z
 C_QUAT = slice(3, 7)       # qw, qx, qy, qz
 C_CERT = 7                 # accumulated certainty
@@ -213,7 +202,7 @@ class LocalMap(NamedTuple):
     lo1: jax.Array             # () i32 anchor of span 1 (oldest member)
     lo2: jax.Array             # () i32 anchor of span 2 (buffer tail)
     origin: jax.Array          # (3,) f32 sensor position at (re)build time
-    hash_rows: jax.Array       # (H_l+1, 4) f32: [x, y, z, float(local idx)]
+    hash_rows: jax.Array       # (H_l+1, 8) f32: [x, y, z, float(lidx), float(gidx), pad...]
 
     @property
     def positions(self) -> jax.Array:
@@ -253,23 +242,33 @@ def init_map_state(mc: MapConfig) -> MapState:
     )
 
 
-def _pack_hash_rows(mc: MapConfig, positions: jax.Array, count: jax.Array) -> jax.Array:
-    """Build the packed per-frame local hash: slot -> [x, y, z, bitcast(lidx)]."""
+def _pack_hash_rows(mc: MapConfig, positions: jax.Array, count: jax.Array,
+                    indices: Optional[jax.Array] = None) -> jax.Array:
+    """Build the packed per-frame local hash:
+    slot -> [x, y, z, lidx, gidx, 0, 0, 0] (8 f32; TPU gathers pay per ROW,
+    so the extra global-index payload is free — it saves the mapping append
+    path a (B*k,) local->global remap gather).
+
+    The index payloads are VALUE-cast to f32 (exact for < 2^24), NOT bitcast:
+    int32 bit patterns of small indices are denormal floats and TPUs flush
+    denormals to zero anywhere the value crosses the VPU — a bitcast payload
+    silently reads back as index 0 on real hardware (CPU preserves the bits,
+    which is exactly the kind of bug fake-device tests cannot catch)."""
     L, Hl = mc.local_capacity, mc.local_hash_size
     lidx = jnp.arange(L + 1, dtype=jnp.int32)
     active = lidx < count
     h = spatial_hash(grid_coords(positions, mc.voxel_size), Hl)
     slot = jnp.where(active, h, Hl)                      # pads go to the dump slot
-    # the index payload is VALUE-cast to f32 (exact for < 2^24), NOT bitcast:
-    # int32 bit patterns of small indices are denormal floats and TPUs flush
-    # denormals to zero anywhere the value crosses the VPU — a bitcast payload
-    # silently reads back as index 0 on real hardware (CPU preserves the bits,
-    # which is exactly the kind of bug fake-device tests cannot catch)
-    rows = jnp.concatenate([positions, lidx.astype(jnp.float32)[:, None]], axis=1)
+    gidx = (indices if indices is not None
+            else jnp.full((L + 1,), mc.capacity, jnp.int32))
+    rows = jnp.concatenate(
+        [positions, lidx.astype(jnp.float32)[:, None],
+         gidx.astype(jnp.float32)[:, None],
+         jnp.zeros((L + 1, 3), jnp.float32)], axis=1)
     sentinel_row = jnp.concatenate(
         [jnp.full((3,), _SENTINEL_POS, jnp.float32),
-         jnp.asarray([L], jnp.float32)])
-    table = jnp.broadcast_to(sentinel_row, (Hl + 1, 4))
+         jnp.asarray([L, mc.capacity, 0.0, 0.0, 0.0], jnp.float32)])
+    table = jnp.broadcast_to(sentinel_row, (Hl + 1, HASH_ROW_DIM))
     return table.at[slot].set(rows)
 
 
@@ -296,14 +295,12 @@ def init_local_map(mc: MapConfig) -> LocalMap:
 # ----------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("mc", "downsample_table_size", "insert_bucket",
-                                   "return_aux"))
+@partial(jax.jit, static_argnames=("mc", "downsample_table_size", "insert_bucket"))
 def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Array,
                cur_ts: jax.Array, travel_dist: jax.Array,
                rng: Optional[jax.Array] = None,
                downsample_table_size: int = 1 << 20,
-               insert_bucket: Optional[int] = None,
-               return_aux: bool = False) -> MapState:
+               insert_bucket: Optional[int] = None) -> MapState:
     """Insert new observations (ref model/neural_points.py:205-270 ``update``).
 
     points: (M,3) world-frame candidate points (padded); valid: (M,) bool.
@@ -387,13 +384,7 @@ def map_insert(state: MapState, mc: MapConfig, points: jax.Array, valid: jax.Arr
 
     new_count = state.count + jnp.sum(placed, dtype=jnp.int32)
 
-    out = MapState(attr_rows, geo_features, color_features, new_count, hash_table)
-    if return_aux:
-        # compacted insert rows (placed = a prefix of the bucket) for the
-        # caller's incremental dilated-table update
-        aux = (pts_c, start + jnp.arange(bucket, dtype=jnp.int32), trav_f, placed)
-        return out, aux
-    return out
+    return MapState(attr_rows, geo_features, color_features, new_count, hash_table)
 
 
 # ----------------------------------------------------------------------
@@ -482,7 +473,47 @@ def build_local_map(state: MapState, mc: MapConfig, origin: jax.Array,
                     geo_features=geo_features, color_features=color_features,
                     count=count, member_mask=member_mask, lo1=lo1, lo2=lo2,
                     origin=origin.astype(jnp.float32),
-                    hash_rows=_pack_hash_rows(mc, attr_rows[:, C_POS], count))
+                    hash_rows=_pack_hash_rows(mc, attr_rows[:, C_POS], count,
+                                              idx_pad))
+
+
+@partial(jax.jit, static_argnames=("mc",))
+def build_query_view(state: MapState, mc: MapConfig, origin: jax.Array,
+                     radius: jax.Array) -> LocalMap:
+    """Read-only local map over ALL points within ``radius`` of ``origin`` —
+    no travel-window filter and no contiguous-span constraint (members may be
+    spread across the whole index range).  For offline/whole-map queries:
+    chunked meshing past ``local_capacity`` and the map inspector
+    (ref vis_pin_map.py:70 'global query mode' recreate_hash).  NOT for the
+    training path: ``assign_local_to_global`` requires the span structure
+    that ``build_local_map`` guarantees."""
+    cap, L = mc.capacity, mc.local_capacity
+
+    vec = state.attr_rows[:cap, C_POS] - origin
+    dist2 = jnp.sum(vec * vec, axis=-1)
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    mask = (rows < state.count) & (dist2 < radius**2)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    mask = mask & (rank < L)                    # overflow: keep the oldest L
+
+    idx = jnp.nonzero(mask, size=L, fill_value=cap)[0].astype(jnp.int32)
+    count = jnp.sum(mask, dtype=jnp.int32)
+    idx_pad = jnp.concatenate([idx, jnp.array([cap], jnp.int32)])
+
+    attr_rows = state.attr_rows[idx_pad]
+    attr_rows = attr_rows.at[L].set(_attr_sentinel_row())
+    geo_features = state.geo_features[idx_pad]
+    color_features = (state.color_features[idx_pad]
+                      if state.color_features is not None else None)
+    member_mask = jnp.concatenate([mask, jnp.zeros((1,), bool)])
+
+    return LocalMap(indices=idx_pad, attr_rows=attr_rows,
+                    geo_features=geo_features, color_features=color_features,
+                    count=count, member_mask=member_mask,
+                    lo1=jnp.zeros((), jnp.int32), lo2=jnp.zeros((), jnp.int32),
+                    origin=origin.astype(jnp.float32),
+                    hash_rows=_pack_hash_rows(mc, attr_rows[:, C_POS], count,
+                                              idx_pad))
 
 
 @partial(jax.jit, static_argnames=("mc",), donate_argnums=(0,))
@@ -561,119 +592,6 @@ def compute_global2local(lm: LocalMap) -> np.ndarray:
     L = lm.geo_features.shape[0] - 1
     rank = np.cumsum(mask.astype(np.int64)) - 1
     return np.where(mask, np.minimum(rank, L), L).astype(np.int32)
-
-
-# ----------------------------------------------------------------------
-# dilated candidate table: ONE-gather kNN probes
-# ----------------------------------------------------------------------
-#
-# TPU row-gathers cost ~6.5 ns per gathered ROW nearly independent of row
-# width (measured; experiments/profile_scatter_gather.py), so the classic
-# per-sample hash probe — 33 narrow gathers per query, one per neighbor cell
-# (ref model/neural_points.py:459-509) — is the single most expensive op in
-# the mapping path (~53 ms for a 230k-sample frame).  The dilated table turns
-# the probe inside out: it is keyed by the QUERY cell, and its row holds the
-# full K-cell candidate neighborhood (position, global index, travel value,
-# and optionally quaternion per candidate), so a probe is ONE wide row-gather.
-#
-# Since the map keeps at most one point per voxel, column j of slot h(c) holds
-# exactly "the point in cell c + offsets[j]" — maintained by scattering each
-# point p (cell c_p) into (h(c_p + offsets[j]), j) for every j; the symmetric
-# offset template makes reader/writer coverage identical.  Hash collisions
-# between occupied cells silently drop a candidate (last writer wins); the
-# table is sized ~4x the local point count to keep that loss small, and every
-# surviving candidate is still validated by exact distance + travel window at
-# query time, so a collision only ever REMOVES a candidate, never corrupts one.
-#
-# The table is scoped to the LOCAL map (the only queryable set): rebuilt from
-# the local-map members every few frames (bounding staleness from points
-# leaving the travel/radius window) and updated incrementally with each
-# frame's inserts in between.  After PGO deformation the pipeline forces a
-# rebuild (positions/quats move).
-
-
-_DILATED_DIM_BASE = 5   # x, y, z, gidx (f32 value-cast, -1 = empty), travel
-
-
-def dilated_dim(mc: MapConfig) -> int:
-    return _DILATED_DIM_BASE + (4 if mc.dilated_quat else 0)
-
-
-def init_dilated(mc: MapConfig, n_offsets: int) -> jax.Array:
-    t = jnp.zeros((mc.dilated_hash_size + 1, n_offsets, dilated_dim(mc)), jnp.float32)
-    return t.at[..., 3].set(-1.0)
-
-
-def _dilated_scatter(dilated: jax.Array, mc: MapConfig, offsets: jax.Array,
-                     pos: jax.Array, gidx: jax.Array, trav: jax.Array,
-                     quat: Optional[jax.Array], active: jax.Array) -> jax.Array:
-    """Register points into the dilated table (see the section note).
-    pos (M,3) world f32, gidx (M,) i32, trav (M,), active (M,) bool."""
-    Hd = mc.dilated_hash_size
-    M, K = pos.shape[0], offsets.shape[0]
-    cells = grid_coords(pos, mc.voxel_size)                   # (M,3)
-    tgt = cells[:, None, :] + offsets[None, :, :]             # (M,K,3)
-    slot = jnp.where(active[:, None], spatial_hash(tgt, Hd), Hd)
-    parts = [pos, gidx.astype(jnp.float32)[:, None], trav[:, None]]
-    if mc.dilated_quat:
-        parts.append(quat)
-    row = jnp.concatenate(parts, axis=1)                      # (M, D)
-    rows = jnp.broadcast_to(row[:, None, :], (M, K, row.shape[1]))
-    col = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (M, K))
-    return dilated.at[slot, col].set(rows)
-
-
-def build_dilated(lm: LocalMap, mc: MapConfig, offsets: jax.Array,
-                  travel_dist: Optional[jax.Array] = None) -> jax.Array:
-    """Full rebuild from the current local-map members — the candidate set
-    then exactly matches ``knn_search`` over this local map (same radius /
-    travel-window / rank-cap membership)."""
-    L = mc.local_capacity
-    active = jnp.arange(L + 1, dtype=jnp.int32) < lm.count
-    pos = lm.attr_rows[:, C_POS]
-    trav = lm.attr_rows[:, C_TRC]
-    if mc.use_mid_ts and travel_dist is not None:
-        mid = ((lm.attr_rows[:, C_TSC] + lm.attr_rows[:, C_TSU]) / 2).astype(jnp.int32)
-        trav = travel_dist[mid]
-    quat = lm.attr_rows[:, C_QUAT] if mc.dilated_quat else None
-    fresh = init_dilated(mc, offsets.shape[0])
-    return _dilated_scatter(fresh, mc, offsets, pos, lm.indices, trav, quat, active)
-
-
-class DilatedKnn(NamedTuple):
-    gidx: jax.Array      # (B,k) i32 global neighbor indices, -1 = none
-    dist2: jax.Array     # (B,k) f32 exact squared distances (_INVALID for none)
-    nbr_pos: jax.Array   # (B,k,3) candidate positions (stale-free: write-time)
-    valid: jax.Array     # (B,k) bool
-    quat: Optional[jax.Array]  # (B,k,4) when mc.dilated_quat else None
-
-
-def dilated_knn(dilated: jax.Array, mc: MapConfig, points: jax.Array,
-                travel_now: jax.Array, k: int) -> DilatedKnn:
-    """kNN probe via the dilated table: ONE (B,)-row gather + exact ranking
-    (replaces the (B,K) 33-narrow-gather probe of ``knn_search`` on the
-    mapping append path)."""
-    Hd = mc.dilated_hash_size
-    h = spatial_hash(grid_coords(points, mc.voxel_size), Hd)  # (B,)
-    rows = dilated[h]                                         # (B,K,D) ONE gather
-    nbr = rows[..., :3]
-    gidx = rows[..., 3].astype(jnp.int32)
-    trav = rows[..., 4]
-    d = nbr - points[:, None, :]
-    dist2 = jnp.sum(d * d, axis=-1)
-    valid = ((gidx >= 0) & (dist2 <= mc.max_valid_dist2)
-             & (jnp.abs(travel_now - trav) < mc.travel_dist_window))
-    dist2 = jnp.where(valid, dist2, _INVALID_DIST2)
-    sel = exact_k_min(dist2, k)                               # (B,k)
-    take = lambda a: jnp.take_along_axis(a, sel, axis=1)
-    gidx_k = take(jnp.where(valid, gidx, -1))
-    valid_k = take(valid)
-    dist2_k = take(dist2)
-    pos_k = jnp.take_along_axis(nbr, sel[..., None], axis=1)
-    quat_k = (jnp.take_along_axis(rows[..., 5:9], sel[..., None], axis=1)
-              if mc.dilated_quat else None)
-    return DilatedKnn(gidx=gidx_k, dist2=dist2_k, nbr_pos=pos_k,
-                      valid=valid_k, quat=quat_k)
 
 
 def exact_k_min(d2: jax.Array, k: int):

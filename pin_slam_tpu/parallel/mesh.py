@@ -96,6 +96,41 @@ def make_sharded_train_step(mesh: Mesh, mc: npts.MapConfig, mcfg: mp.MapperConfi
     return step
 
 
+def make_sharded_mapping_loop(mesh: Mesh, mc: npts.MapConfig,
+                              mcfg: mp.MapperConfig, num_iters: int,
+                              after_pgo: bool = False, pos_encode=None):
+    """The PRODUCTION per-frame training loop (mapper.mapping_loop_cached),
+    data-parallel over the device mesh: each device draws its own batch shard
+    from the (replicated) replay pool, gradients are pmean-reduced over ICI
+    inside the scan, and the replicated Adam update keeps params identical
+    everywhere — total batch = mcfg.bs, split mcfg.bs // n per device.
+
+    Drop-in for mapping_loop_cached's (lm, params, opt_state, pool, key,
+    dec_scale, use_new) -> (lm, params, opt_state, loss_hist) call shape;
+    the SlamSystem routes through this when config.dp_devices > 1.
+    """
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+
+    n = int(np.prod(mesh.devices.shape))
+    if mcfg.bs % n:
+        raise ValueError(f"bs {mcfg.bs} not divisible by {n} devices")
+    mcfg_dp = dataclasses.replace(
+        mcfg, bs=mcfg.bs // n,
+        bs_new_sample=max(1, mcfg.bs_new_sample // n))
+
+    def inner(lm, params, opt_state, pool, key, dec_scale, use_new):
+        return mp.mapping_loop_cached(
+            lm, mc, params, opt_state, pool, mcfg_dp, key, dec_scale, use_new,
+            num_iters=num_iters, after_pgo=after_pgo, pos_encode=pos_encode,
+            axis_name=DATA_AXIS)
+
+    return shard_map(inner, mesh=mesh,
+                     in_specs=(P(), P(), P(), P(), P(), P(), P()),
+                     out_specs=(P(), P(), P(), P()), check_rep=False)
+
+
 def make_sharded_query(mesh: Mesh, mc: npts.MapConfig, offsets: jax.Array,
                        sdf_scale: float):
     """Jitted data-parallel SDF inference: query points sharded, map replicated

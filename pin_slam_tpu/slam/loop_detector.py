@@ -42,6 +42,8 @@ class LoopConfig:
     local_map_radius: float = 62.0
     max_loop_dist: float = 8.0
     z_check_on: bool = False
+    with_feature: bool = False         # per-bin mean neural-point features
+    #                                    (ref utils/loop_detector.py:55-75,398-421)
 
     @staticmethod
     def from_config(cfg) -> "LoopConfig":
@@ -52,7 +54,8 @@ class LoopConfig:
             virtual_side_count=cfg.context_virtual_side_count,
             min_travel_dist_ratio=cfg.min_loop_travel_dist_ratio,
             local_map_radius=cfg.local_map_radius, max_loop_dist=cfg.max_loop_dist,
-            z_check_on=cfg.loop_z_check_on)
+            z_check_on=cfg.loop_z_check_on,
+            with_feature=cfg.loop_with_feature)
 
 
 @partial(jax.jit, static_argnames=("num_rings", "num_sectors", "max_radius"))
@@ -81,6 +84,55 @@ def scan_context(points: jax.Array, valid: jax.Array, num_rings: int = 20,
 def ring_key(desc: jax.Array) -> jax.Array:
     """Row means (ref utils/loop_detector.py:370-371)."""
     return jnp.mean(desc, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("num_rings", "num_sectors", "max_radius"))
+def scan_context_feature(points: jax.Array, features: jax.Array,
+                         valid: jax.Array, num_rings: int = 20,
+                         num_sectors: int = 60,
+                         max_radius: float = 80.0) -> jax.Array:
+    """Feature-augmented descriptor: per-bin MEAN of the neural-point features
+    (ref utils/loop_detector.py:342-345,362-366 scatter_reduce mean).
+
+    points: (N,3) sensor frame; features: (N,F).
+    Returns (num_rings, num_sectors, F) f32; empty bins are zero.
+    """
+    x, y = points[:, 0], points[:, 1]
+    r = jnp.sqrt(x * x + y * y)
+    theta = jnp.arctan2(y, x) + jnp.pi
+    ring = jnp.minimum((r / max_radius * num_rings).astype(jnp.int32), num_rings - 1)
+    sector = jnp.minimum((theta / (2 * jnp.pi) * num_sectors).astype(jnp.int32),
+                         num_sectors - 1)
+    ok = valid & (r < max_radius)
+    flat = jnp.where(ok, ring * num_sectors + sector, num_rings * num_sectors)
+    F = features.shape[1]
+    acc = jnp.zeros((num_rings * num_sectors + 1, F), jnp.float32)
+    acc = acc.at[flat].add(jnp.where(ok[:, None], features, 0.0))
+    cnt = jnp.zeros((num_rings * num_sectors + 1,), jnp.float32).at[flat].add(
+        ok.astype(jnp.float32))
+    mean = acc / jnp.maximum(cnt, 1.0)[:, None]
+    return mean[:-1].reshape(num_rings, num_sectors, F)
+
+
+@jax.jit
+def sc_feature_distance_with_yaw(query: jax.Array, candidates: jax.Array):
+    """Feature-descriptor distance with brute-force yaw alignment
+    (ref utils/loop_detector.py:398-421 ``distance_sc_feature_torch``:
+    per-(sector, channel) cosine similarity over the ring dimension, averaged
+    over all columns; the reference's 60-roll python loop is one einsum).
+
+    query: (R,S,F); candidates: (M,R,S,F). Returns (dist (M,), yaw_shift (M,)).
+    """
+    R, S, F = query.shape
+    rolls = jnp.arange(S)
+    idx = (jnp.arange(S)[None, :] + rolls[:, None]) % S
+    q_rolled = jnp.moveaxis(query[:, idx], 1, 0)            # (S_roll, R, S, F)
+    qn = q_rolled / (jnp.linalg.norm(q_rolled, axis=1, keepdims=True) + 1e-9)
+    cn = candidates / (jnp.linalg.norm(candidates, axis=1, keepdims=True) + 1e-9)
+    sim = jnp.einsum("mrsf,krsf->mk", cn, qn) / (S * F)     # mean over columns
+    best = jnp.max(sim, axis=-1)
+    shift = jnp.argmax(sim, axis=-1)
+    return 1.0 - best, shift
 
 
 @jax.jit
@@ -116,16 +168,23 @@ class NeuralPointMapContextManager:
         self.lc = lc
         self.descriptors: List[np.ndarray] = []      # per frame: (V, R, S) with virtuals
         self.ring_keys: List[np.ndarray] = []        # (V, R)
+        self.feat_descriptors: List[np.ndarray] = []  # (V, R, S, F) when with_feature
+        self.feat_ring_keys: List[np.ndarray] = []    # (V, R, F)
         self.frame_ids: List[int] = []
 
-    def add_node(self, frame_id: int, points: np.ndarray, valid: np.ndarray) -> None:
+    def add_node(self, frame_id: int, points: np.ndarray, valid: np.ndarray,
+                 features: Optional[np.ndarray] = None) -> None:
         """Build descriptor(s) for this frame's local map in the sensor frame
-        (+ lateral virtual nodes, ref utils/loop_detector.py:76-129)."""
+        (+ lateral virtual nodes, ref utils/loop_detector.py:76-129).
+
+        ``features``: (N,F) per-point neural features — builds the
+        feature-augmented variant alongside (ref :55-75)."""
         lc = self.lc
         offs = [0.0]
         for k in range(1, lc.virtual_side_count // 2 + 1):
             offs += [k * lc.virtual_step, -k * lc.virtual_step]
-        descs, rks = [], []
+        descs, rks, fdescs, frks = [], [], [], []
+        use_feat = lc.with_feature and features is not None
         for off in offs:
             shifted = points.copy()
             shifted[:, 1] += off
@@ -133,8 +192,18 @@ class NeuralPointMapContextManager:
                                         lc.num_rings, lc.num_sectors, lc.max_radius))
             descs.append(d)
             rks.append(np.asarray(ring_key(jnp.asarray(d))))
+            if use_feat:
+                fd = np.asarray(scan_context_feature(
+                    jnp.asarray(shifted), jnp.asarray(features),
+                    jnp.asarray(valid), lc.num_rings, lc.num_sectors,
+                    lc.max_radius))
+                fdescs.append(fd)
+                frks.append(fd.mean(axis=1))     # sc2rk over sectors (ref :370)
         self.descriptors.append(np.stack(descs))
         self.ring_keys.append(np.stack(rks))
+        if use_feat:
+            self.feat_descriptors.append(np.stack(fdescs))
+            self.feat_ring_keys.append(np.stack(frks))
         self.frame_ids.append(frame_id)
 
     def detect_global_loop(self, cur_drift: float, travel_dist: List[float],
@@ -158,15 +227,32 @@ class NeuralPointMapContextManager:
         if not cands:
             return -1, np.inf, 0.0
 
-        # ring-key L1 prefilter over all virtual nodes
-        rk_all = np.concatenate([self.ring_keys[i] for i in cands])      # (sumV, R)
+        use_feat = self.lc.with_feature and len(self.feat_descriptors) == len(
+            self.descriptors)
+
+        # ring-key L1 prefilter over all virtual nodes (feature ring keys when
+        # the feature variant is active, ref utils/loop_detector.py:398-402)
+        if use_feat:
+            rk_all = np.concatenate(
+                [self.feat_ring_keys[i].reshape(self.feat_ring_keys[i].shape[0], -1)
+                 for i in cands])
+            cur_key = self.feat_ring_keys[-1][0].reshape(-1)
+        else:
+            rk_all = np.concatenate([self.ring_keys[i] for i in cands])  # (sumV, R)
+            cur_key = cur_rk
         owner = np.concatenate([[i] * self.ring_keys[i].shape[0] for i in cands])
-        l1 = np.abs(rk_all - cur_rk[None]).sum(axis=1)
+        l1 = np.abs(rk_all - cur_key[None]).sum(axis=1)
         top = np.argsort(l1)[:k_prefilter]
 
-        desc_all = np.concatenate([self.descriptors[i] for i in cands])  # (sumV, R, S)
-        sel = desc_all[top]
-        dist, shift = sc_distance_with_yaw(jnp.asarray(cur_desc), jnp.asarray(sel))
+        if use_feat:
+            desc_all = np.concatenate([self.feat_descriptors[i] for i in cands])
+            sel = desc_all[top]
+            dist, shift = sc_feature_distance_with_yaw(
+                jnp.asarray(self.feat_descriptors[-1][0]), jnp.asarray(sel))
+        else:
+            desc_all = np.concatenate([self.descriptors[i] for i in cands])  # (sumV, R, S)
+            sel = desc_all[top]
+            dist, shift = sc_distance_with_yaw(jnp.asarray(cur_desc), jnp.asarray(sel))
         dist, shift = np.asarray(dist), np.asarray(shift)
         best = int(np.argmin(dist))
         if dist[best] > lc.cosdist_threshold:

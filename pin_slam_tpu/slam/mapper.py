@@ -217,24 +217,107 @@ def idw_blend(points: jax.Array, nbr_pos: jax.Array, valid: jax.Array,
     return w, vec_blend
 
 
-def append_knn(dilated: jax.Array, mc, offsets: jax.Array, coords: jax.Array,
-               travel_now: jax.Array, pos_encode=None):
-    """kNN + cached geometry of one frame's samples at append time: ONE wide
-    row-gather from the dilated candidate table, exact distance ranking, IDW
-    weights and the blended offset vector (see the pool-row layout note).
-    One probe per sample per LIFETIME instead of per training batch.
+def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k):
+    """Probe the local hash at ``probe_pts``' neighbor cells, rank the shared
+    candidate set by each ``query_pts`` row's exact distances.
 
-    Runs right after this frame's ``map_insert`` + dilated update, so the
-    frame's own surface points are already candidates (matching the
+    probe_pts (G,3); query_pts (G,n,3) — the n queries of group g share probe
+    g's candidate ball.  Returns (gidx (G,n,k) i32 global ids, w-geometry
+    inputs: nbr_pos (G,n,k,3), valid (G,n,k)).
+    """
+    from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
+
+    L = mc.local_capacity
+    grid = grid_coords(probe_pts, mc.voxel_size)
+    cells = grid[:, None, :] + offsets[None, :, :]
+    h = spatial_hash(cells, mc.local_hash_size)
+    rows = lm.hash_rows[h]                                # (G,K,8) probe
+    nbr = rows[..., :3]
+    lidx = rows[..., 3].astype(jnp.int32)
+    gidx = rows[..., 4].astype(jnp.int32)
+
+    d = nbr[:, None, :, :] - query_pts[:, :, None, :]     # (G,n,K,3)
+    dist2 = jnp.sum(d * d, axis=-1)                       # (G,n,K)
+    valid = (lidx[:, None, :] < L) & (dist2 <= mc.max_valid_dist2)
+    dist2 = jnp.where(valid, dist2, npts._INVALID_DIST2)
+
+    sel = exact_k_min(dist2, k)                           # (G,n,k)
+    take = lambda a: jnp.take_along_axis(
+        jnp.broadcast_to(a[:, None], valid.shape), sel, axis=-1)
+    gidx_k = jnp.where(jnp.take_along_axis(valid, sel, axis=-1),
+                       take(gidx), -1)
+    pos_k = jnp.take_along_axis(
+        jnp.broadcast_to(nbr[:, None], query_pts.shape[:2] + nbr.shape[1:]),
+        sel[..., None], axis=-2)
+    return gidx_k, pos_k, gidx_k >= 0
+
+
+def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
+               ray_sample_count: int, near_count: int,
+               quats: Optional[jax.Array] = None, pos_encode=None):
+    """kNN + cached geometry of one frame's samples at append time, with the
+    probe SHARED along each ray (see the pool-row layout note): the first
+    ``near_count`` samples of a ray (endpoint + Gaussian surface + behind —
+    all within ~the surface-sample range of the endpoint) rank within the
+    ENDPOINT's neighbor-cell ball, probed once per ray; the remaining
+    free-space samples probe individually.  This cuts the probe's gathered
+    rows (the dominant cost: ~7 ns per row on TPU regardless of row width)
+    from (samples x K) to ((rays + n_free x rays) x K) — 2.3x for the 1+3+2+1
+    reference layout — while distances/ranking stay exact per sample; only a
+    candidate beyond the endpoint's ball but inside a surface sample's own
+    ball is missed (bounded by the Gaussian sample range, a fraction of the
+    ball radius).  One probe per sample per LIFETIME instead of per training
+    batch (the reference re-queries per batch, utils/mapper.py:461 ->
+    model/neural_points.py:459-509).
+
+    Runs right after this frame's ``map_insert`` + ``build_local_map``, so the
+    frame's own surface points are already in the index (matching the
     reference's query-after-update ordering, utils/mapper.py:163-176,461).
 
-    Returns (gidx (M,k) i32, w (M,k), vec_blend (M,vec_dim)).
+    coords: (n_rays * ray_sample_count, 3) ray-major samples; the per-ray
+    layout is [endpoint, surface x n_surf, free-front x n_front, behind]
+    (ops/sampler.py) — ``near_count`` = 1 + n_surf.  ALL free-space samples
+    (front and behind) probe individually: behind samples reach up to
+    free_sample_end_dist_m (~1 m) past the endpoint, far outside the shared
+    ball.
+    ``quats``: (cap+1, 4) global quaternion rows for the post-PGO offset
+    rotation (identity until map deformation), or None.
+
+    Returns (gidx (M,k) i32 GLOBAL ids, w (M,k), vec_blend (M,vec_dim)).
     """
     k = min(mc.nn_k, offsets.shape[0])
-    res = npts.dilated_knn(dilated, mc, coords, travel_now, k)
-    w, vec_blend = idw_blend(coords, res.nbr_pos, res.valid, res.quat,
-                             pos_encode, mc.idw_eps)
-    return res.gidx, w, vec_blend
+    Sn = ray_sample_count
+    n_rays = coords.shape[0] // Sn
+    c3 = coords.reshape(n_rays, Sn, 3)
+
+    near = c3[:, :near_count]
+    far = c3[:, near_count:]
+
+    g_near, p_near, v_near = _probe_rank(lm, mc, offsets, c3[:, 0], near, k)
+    if far.shape[1] > 0:
+        far_flat = far.reshape(-1, 3)
+        g_far, p_far, v_far = _probe_rank(lm, mc, offsets, far_flat,
+                                          far_flat[:, None, :], k)
+        g_far = g_far.reshape(n_rays, -1, k)
+        p_far = p_far.reshape(n_rays, -1, k, 3)
+        v_far = v_far.reshape(n_rays, -1, k)
+    else:
+        g_far = jnp.zeros((n_rays, 0, k), jnp.int32)
+        p_far = jnp.zeros((n_rays, 0, k, 3), jnp.float32)
+        v_far = jnp.zeros((n_rays, 0, k), bool)
+
+    # reassemble in the sampler's per-ray order (near prefix + free tail)
+    gidx = jnp.concatenate([g_near, g_far], axis=1)
+    pos = jnp.concatenate([p_near, p_far], axis=1)
+    valid = jnp.concatenate([v_near, v_far], axis=1)
+
+    gidx = gidx.reshape(-1, k)
+    pos = pos.reshape(-1, k, 3)
+    valid = valid.reshape(-1, k)
+    quat = (quats[jnp.where(gidx >= 0, jnp.minimum(gidx, mc.capacity),
+                            mc.capacity)] if quats is not None else None)
+    w, vec_blend = idw_blend(coords, pos, valid, quat, pos_encode, mc.idw_eps)
+    return gidx, w, vec_blend
 
 
 @partial(jax.jit, static_argnames=("mcfg",))
@@ -368,7 +451,7 @@ def pool_refresh_cache(pool: PoolState, state_attr_rows: jax.Array,
     safe = jnp.where(gidx >= 0, jnp.minimum(gidx, cap), cap)
     rows = state_attr_rows[safe]                            # (P+1, k, 16)
     nbr_pos = rows[..., :3]
-    quat = rows[..., 3:7] if mc.dilated_quat else None
+    quat = rows[..., 3:7]           # non-identity once PGO has deformed the map
     coord = pool.rows[:, P_COORD]
     d = nbr_pos - coord[:, None, :]
     valid = (gidx >= 0) & (jnp.sum(d * d, axis=-1) <= mc.max_valid_dist2)
@@ -827,14 +910,14 @@ def _mapping_loop_fast(lm: npts.LocalMap, mc: npts.MapConfig,
 
 
 @partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters", "after_pgo",
-                                   "pos_encode"))
+                                   "pos_encode", "axis_name"))
 def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
                         params: TrainableParams, opt_state: AdamState,
                         pool: PoolState,
                         mcfg: MapperConfig, key: jax.Array,
                         decoder_lr_scale: jax.Array, use_new: jax.Array,
                         num_iters: int, after_pgo: bool = False,
-                        pos_encode=None):
+                        pos_encode=None, axis_name=None):
     """The per-frame training loop with POOL-CACHED kNN — the TPU-native
     production path (ref utils/mapper.py:425-593 ``mapping``).
 
@@ -863,8 +946,18 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     Returns (lm with updated cert/ts bookkeeping, params, opt_state,
     loss_hist); the caller writes features back to the global map via
     ``assign_local_to_global`` exactly as the legacy paths do.
+
+    ``axis_name``: when set (inside ``shard_map``), runs DATA-PARALLEL over
+    the batch axis: each device samples its own batch shard (key folded with
+    the axis index), per-device gradients are ``pmean``-reduced over ICI
+    before the (replicated, identical) Adam update — the standard pjit DP
+    recipe; ``mcfg.bs`` is then the PER-DEVICE batch (see
+    parallel.mesh.make_sharded_mapping_loop).
     """
     _, adam_step = _fused_adam(mcfg)
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        axis_size = jax.lax.psum(1, axis_name)
     T, B = num_iters, mcfg.bs
     F = params.features.shape[1] - 1                      # feature dim (col F = cert)
     L = mc.local_capacity
@@ -894,6 +987,8 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     # newest pool ts among this frame's samples — the ts_update proxy folded
     # into touched points after the scan (see the fold below)
     ts_proxy = jnp.max(jnp.where(in_pool, ts_flat.reshape(T, B), 0.0))
+    if axis_name is not None:
+        ts_proxy = jax.lax.pmax(ts_proxy, axis_name)
 
     # cached geometry (computed once at append time; refreshed on PGO/BA
     # deformation).  A neighbor that has since LEFT the local-map window gets
@@ -986,8 +1081,16 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
             return loss + cert_term, loss
 
         (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_c)
-        # harvest the certainty channel's raw gradient; keep it out of Adam
-        cert_acc = cert_acc + grads.features[:, F]
+        if axis_name is not None:
+            # DP all-reduce over ICI: identical replicated updates everywhere
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        # harvest the certainty channel's raw gradient; keep it out of Adam.
+        # (under DP, pmean halved the per-point weight sums -> restore the SUM)
+        cert_raw = grads.features[:, F]
+        if axis_name is not None:
+            cert_raw = cert_raw * axis_size
+        cert_acc = cert_acc + cert_raw
         grads = grads._replace(features=grads.features.at[:, F].set(0.0))
         grads = grads._replace(
             geo=jax.tree.map(lambda g: g * decoder_lr_scale, grads.geo),

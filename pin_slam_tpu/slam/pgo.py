@@ -25,6 +25,82 @@ def _skew(v):
     return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0.0]])
 
 
+def _skew_batch(v: np.ndarray) -> np.ndarray:
+    """(...,3) -> (...,3,3)."""
+    S = np.zeros(v.shape[:-1] + (3, 3))
+    S[..., 0, 1], S[..., 0, 2] = -v[..., 2], v[..., 1]
+    S[..., 1, 0], S[..., 1, 2] = v[..., 2], -v[..., 0]
+    S[..., 2, 0], S[..., 2, 1] = -v[..., 1], v[..., 0]
+    return S
+
+
+def se3_inv_batch(T: np.ndarray) -> np.ndarray:
+    """(...,4,4) SE(3) inverse via [R^T, -R^T t]."""
+    Rt = np.swapaxes(T[..., :3, :3], -1, -2)
+    out = np.zeros_like(T)
+    out[..., :3, :3] = Rt
+    out[..., :3, 3] = -np.einsum("...ij,...j->...i", Rt, T[..., :3, 3])
+    out[..., 3, 3] = 1.0
+    return out
+
+
+def se3_log_batch(T: np.ndarray) -> np.ndarray:
+    """(...,4,4) -> (...,6) [rot, trans], vectorized se3_log."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos = np.clip((tr - 1) / 2, -1.0, 1.0)
+    theta = np.arccos(cos)
+    axis = np.stack([R[..., 2, 1] - R[..., 1, 2],
+                     R[..., 0, 2] - R[..., 2, 0],
+                     R[..., 1, 0] - R[..., 0, 1]], axis=-1)
+    small = theta < 1e-9
+    # theta/(2 sin theta): series 1/2 + theta^2/12 near 0
+    sin = np.sin(theta)
+    f = np.where(small, 0.5 + theta**2 / 12,
+                 theta / np.where(small, 1.0, 2 * sin))
+    w = f[..., None] * axis
+    S = _skew_batch(w)
+    SS = np.einsum("...ij,...jk->...ik", S, S)
+    half = theta / 2
+    # (1 - half*cot(half))/theta^2 -> 1/12 as theta -> 0
+    tan = np.tan(np.where(small, 1.0, half))
+    coeff = np.where(small, 1.0 / 12,
+                     (1 - half / tan) / np.where(small, 1.0, theta**2))
+    Vinv = np.eye(3) - 0.5 * S + coeff[..., None, None] * SS
+    v = np.einsum("...ij,...j->...i", Vinv, t)
+    return np.concatenate([w, v], axis=-1)
+
+
+def se3_exp_batch(xi: np.ndarray) -> np.ndarray:
+    """(...,6) [rot, trans] -> (...,4,4), vectorized se3_exp."""
+    w, v = xi[..., :3], xi[..., 3:]
+    theta = np.linalg.norm(w, axis=-1)
+    small = theta < 1e-9
+    th = np.where(small, 1.0, theta)
+    A = np.where(small, 1.0, np.sin(th) / th)
+    B = np.where(small, 0.5, (1 - np.cos(th)) / th**2)
+    C = np.where(small, 1.0 / 6, (1 - A) / th**2)
+    S = _skew_batch(w)
+    SS = np.einsum("...ij,...jk->...ik", S, S)
+    R = np.eye(3) + A[..., None, None] * S + B[..., None, None] * SS
+    V = np.eye(3) + B[..., None, None] * S + C[..., None, None] * SS
+    T = np.zeros(xi.shape[:-1] + (4, 4))
+    T[..., :3, :3] = R
+    T[..., :3, 3] = np.einsum("...ij,...j->...i", V, v)
+    T[..., 3, 3] = 1.0
+    return T
+
+
+def adjoint_batch(T: np.ndarray) -> np.ndarray:
+    """(...,4,4) -> (...,6,6) SE(3) adjoint in [rot, trans] ordering."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    Ad = np.zeros(T.shape[:-2] + (6, 6))
+    Ad[..., :3, :3] = R
+    Ad[..., 3:, 3:] = R
+    Ad[..., 3:, :3] = np.einsum("...ij,...jk->...ik", _skew_batch(t), R)
+    return Ad
+
+
 def se3_log(T: np.ndarray) -> np.ndarray:
     R, t = T[:3, :3], T[:3, 3]
     cos = np.clip((np.trace(R) - 1) / 2, -1.0, 1.0)
@@ -125,50 +201,67 @@ class PoseGraphManager:
 
     # ------------------------------------------------------------------
     def optimize_pose_graph(self, lm_lambda: float = 1e-6) -> np.ndarray:
-        """LM over all nodes (ref utils/pgo.py:122-157). Returns [N,4,4] poses."""
+        """LM over all nodes (ref utils/pgo.py:122-157). Returns [N,4,4] poses.
+
+        Fully vectorized over edges (numpy batch SE(3) ops + one COO build per
+        iteration): at KITTI-00 scale (4.5k nodes, 50 LM iters per closure) the
+        per-edge python triple loop this replaces spent seconds per closure on
+        36 scalar appends per block."""
         n = len(self.nodes)
-        X = [p.copy() for p in self.nodes]
-        fixed = set(self.fixed)
+        X = np.stack(self.nodes)                         # (N,4,4)
+        fixed = sorted(set(self.fixed))
+
+        EI = np.array([e.i for e in self.edges], np.int64)
+        EJ = np.array([e.j for e in self.edges], np.int64)
+        Zinv = se3_inv_batch(np.stack([e.Z for e in self.edges]))
+        info = np.stack([e.info for e in self.edges])    # (E,6,6)
+
+        def residuals(Xs):
+            rel = np.einsum("eij,ejk->eik", se3_inv_batch(Xs[EI]), Xs[EJ])
+            r = se3_log_batch(np.einsum("eij,ejk->eik", Zinv, rel))
+            return rel, r
 
         def total_error(Xs):
-            err = 0.0
-            for e in self.edges:
-                r = se3_log(np.linalg.inv(e.Z) @ np.linalg.inv(Xs[e.i]) @ Xs[e.j])
-                err += r @ e.info @ r
-            return err
+            _, r = residuals(Xs)
+            return float(np.einsum("ei,eij,ej->", r, info, r))
+
+        free_mask = np.ones(6 * n, dtype=bool)
+        for fidx in fixed:
+            free_mask[6 * fidx:6 * fidx + 6] = False
+        # static COO index pattern: 4 blocks (ii, ij, ji, jj) x 36 per edge
+        u6 = np.arange(6)
+        blk_rows = np.repeat(u6, 6)                      # (36,)
+        blk_cols = np.tile(u6, 6)
+        rows = np.concatenate([
+            (6 * a[:, None] + blk_rows[None, :]).ravel()
+            for a in (EI, EI, EJ, EJ)])
+        cols = np.concatenate([
+            (6 * c[:, None] + blk_cols[None, :]).ravel()
+            for c in (EI, EJ, EI, EJ)])
 
         lam = lm_lambda
         last_err = total_error(X)
         for _ in range(self.max_iter):
-            rows, cols, vals = [], [], []
-            b = np.zeros(6 * n)
-            for e in self.edges:
-                Ti, Tj, Z = X[e.i], X[e.j], e.Z
-                rel = np.linalg.inv(Ti) @ Tj
-                r = se3_log(np.linalg.inv(Z) @ rel)
-                # right-perturbation jacobians (small-residual approximation
-                # J_r ~ I): d r / d xi_j = I, d r / d xi_i = -Ad(rel^-1)
-                Jj = np.eye(6)
-                Ji = -adjoint(np.linalg.inv(rel))
-                for (a, Ja) in ((e.i, Ji), (e.j, Jj)):
-                    if a in fixed:
-                        continue
-                    b[6 * a:6 * a + 6] += Ja.T @ e.info @ r
-                    for (c, Jc) in ((e.i, Ji), (e.j, Jj)):
-                        if c in fixed:
-                            continue
-                        blk = Ja.T @ e.info @ Jc
-                        for u in range(6):
-                            for v in range(6):
-                                rows.append(6 * a + u)
-                                cols.append(6 * c + v)
-                                vals.append(blk[u, v])
+            rel, r = residuals(X)
+            # right-perturbation jacobians (small-residual approximation
+            # J_r ~ I): d r / d xi_j = I, d r / d xi_i = -Ad(rel^-1)
+            Ji = -adjoint_batch(se3_inv_batch(rel))      # (E,6,6)
+            JiT_info = np.einsum("eji,ejk->eik", Ji, info)
+            blk_ii = np.einsum("eij,ejk->eik", JiT_info, Ji)
+            blk_ij = JiT_info                            # Ji^T info I
+            blk_ji = np.swapaxes(blk_ij, -1, -2)         # I info Ji (info sym)
+            blk_jj = info
+            vals = np.concatenate([blk_ii.reshape(-1, 36),
+                                   blk_ij.reshape(-1, 36),
+                                   blk_ji.reshape(-1, 36),
+                                   blk_jj.reshape(-1, 36)]).ravel()
+            b = np.zeros((n, 6))
+            np.add.at(b, EI, np.einsum("eij,ej->ei", JiT_info, r))
+            np.add.at(b, EJ, np.einsum("eij,ej->ei", info, r))
+            b = b.ravel()
+
             H = sp.coo_matrix((vals, (rows, cols)), shape=(6 * n, 6 * n)).tocsr()
             H = H + lam * sp.diags(H.diagonal() + 1e-9)
-            # fixed nodes: identity rows
-            free_mask = np.ones(6 * n, dtype=bool)
-            for fidx in fixed:
-                free_mask[6 * fidx:6 * fidx + 6] = False
             Hf = H[free_mask][:, free_mask]
             bf = b[free_mask]
             try:
@@ -177,8 +270,8 @@ class PoseGraphManager:
                 break
             dx = np.zeros(6 * n)
             dx[free_mask] = dx_f
-            X_new = [Xi @ se3_exp(dx[6 * i:6 * i + 6]) if i not in fixed else Xi
-                     for i, Xi in enumerate(X)]
+            X_new = np.einsum("nij,njk->nik", X, se3_exp_batch(dx.reshape(n, 6)))
+            X_new[fixed] = X[fixed]
             err = total_error(X_new)
             if err < last_err:
                 X = X_new
@@ -192,9 +285,8 @@ class PoseGraphManager:
                 if lam > 1e3:
                     break
         self.pgo_count += 1
-        result = np.stack(X)
-        self.nodes = [p.copy() for p in result]
-        return result
+        self.nodes = [p.copy() for p in X]
+        return X.copy()
 
     # ------------------------------------------------------------------
     def get_pose_diff(self, old_poses: np.ndarray) -> np.ndarray:

@@ -81,13 +81,18 @@ class SlamSystem:
 
         self.state = npts.init_map_state(self.mc)
         self.lm = npts.init_local_map(self.mc)
-        self.dilated = npts.init_dilated(self.mc, int(self.offsets.shape[0]))
-        self._force_dilated_rebuild = True     # frame 0 builds from scratch
         self.pool = mp.init_pool(self.mcfg, color_channel=max(config.color_channel, 1))
         self.after_pgo = False
         self.sdf_scale = config.sdf_scale
 
-        self.cur_pose = np.eye(4)      # world <- sensor, f64 host
+        # world <- sensor, f64 host.  With GT available the trajectory starts
+        # AT the GT origin like the reference (slam_dataset.py:311-319 appends
+        # cur_pose_ref = poses_ref[0] as the first odometry pose) — otherwise
+        # endpoint/ATE differencing vs GT carries a constant world offset.
+        self.cur_pose = np.eye(4)
+        if self.dataset.gt_pose_provided and config.track_on:
+            self.cur_pose = self.dataset.gt_poses[config.begin_frame].copy()
+            self.dataset.last_pose = self.cur_pose.copy()
         self.lm_origin64 = np.zeros(3)
         self.frame_id = 0
         # PIN_SLAM_SYNC_STAGES=1 blocks on the device after every stage so the
@@ -131,6 +136,30 @@ class SlamSystem:
                                          cfg.use_gaussian_pe)
         else:
             pos_encode_fn = None
+
+        # data-parallel mapping loop over a device mesh (config.dp_devices>1):
+        # batch sharded, map/decoder replicated, grad pmean over ICI
+        dp_loops = {}
+        if cfg.dp_devices > 1:
+            from pin_slam_tpu.parallel import mesh as pmesh
+
+            self._dp_mesh = pmesh.make_mesh(cfg.dp_devices)
+
+        def train_loop(num_iters: int, after_pgo: bool):
+            if cfg.dp_devices > 1:
+                from pin_slam_tpu.parallel import mesh as pmesh
+
+                k = (num_iters, after_pgo)
+                if k not in dp_loops:
+                    dp_loops[k] = pmesh.make_sharded_mapping_loop(
+                        self._dp_mesh, mc, mcfg, num_iters,
+                        after_pgo=after_pgo, pos_encode=pos_encode_fn)
+                return dp_loops[k]
+            return lambda lm, params, opt, pool, key, scale, use_new: \
+                mp.mapping_loop_cached(lm, mc, params, opt, pool, mcfg, key,
+                                       scale, use_new, num_iters=num_iters,
+                                       after_pgo=after_pgo,
+                                       pos_encode=pos_encode_fn)
 
         def source_prep(points, valid, colors):
             """Coarse voxel downsample of the registration source cloud
@@ -198,15 +227,14 @@ class SlamSystem:
             return (packed, R_sel, t_sel_w, ok, tran_sel,
                     src, src_valid, nrm, nrm_valid)
 
-        def frame_update(state, dilated, lm, pool, key, points, valid, pose_R,
-                         pose_t, frame_id, travel, rebuild, sem_labels, colors,
-                         geo_params):
-            """Stage IV-a: sample -> insert (+ incremental dilated-table
-            update) -> local map -> (periodic) dilated rebuild -> new flags ->
-            per-sample one-gather kNN + cached geometry -> pool append
+        def frame_update(state, lm, pool, key, points, valid, pose_R,
+                         pose_t, frame_id, travel, sem_labels, colors,
+                         geo_params, after_pgo=False):
+            """Stage IV-a: sample -> insert -> local map -> new flags ->
+            ray-grouped kNN probe + cached geometry -> pool append
             (ref utils/mapper.py:110-321 ``process_frame``; the kNN-at-append
-            via the dilated candidate table is the TPU redesign — see the
-            mapper pool-row layout note and neural_points' dilated section)."""
+            with the probe shared along each ray is the TPU redesign — see
+            the mapper pool-row layout note and append_knn)."""
             if not cfg.rand_downsample:
                 # the reference's DEFAULT preprocessing path voxel-downsamples
                 # the mapping cloud (ref dataset/slam_dataset.py:282-287 ->
@@ -240,48 +268,29 @@ class SlamSystem:
             surf_mask = vld_surf & (
                 jnp.abs(lbl_surf)
                 < cfg.surface_sample_range_m * cfg.map_surface_ratio)
-            state, ins_aux = npts.map_insert(
+            state = npts.map_insert(
                 state, mc, cw_surf, surf_mask, frame_id, travel,
                 downsample_table_size=cfg.downsample_hash_size,
-                insert_bucket=min(cfg.frame_bucket, cw_surf.shape[0]),
-                return_aux=True)
+                insert_bucket=min(cfg.frame_bucket, cw_surf.shape[0]))
             lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
 
-            # dilated candidate table: periodic full rebuild from the fresh
-            # local map (bounds staleness + hash-collision loss), incremental
-            # scatter of this frame's inserts otherwise.  The incremental
-            # width is bounded (scatter cost is per ROW x K cells); a frame
-            # inserting more than the bound triggers a full rebuild instead,
-            # decided ON DEVICE so no host sync is needed.
-            ins_pos, ins_gidx, ins_trav, ins_placed = ins_aux
-            db = min(8192, ins_pos.shape[0])
-            ins_quat = (jnp.zeros((db, 4), jnp.float32).at[:, 0].set(1.0)
-                        if mc.dilated_quat else None)
-            n_ins = jnp.sum(ins_placed, dtype=jnp.int32)
-            dilated = jax.lax.cond(
-                rebuild | (n_ins > db),
-                lambda d: npts.build_dilated(lm, mc, offsets, travel),
-                lambda d: npts._dilated_scatter(d, mc, offsets, ins_pos[:db],
-                                                ins_gidx[:db], ins_trav[:db],
-                                                ins_quat, ins_placed[:db]),
-                dilated)
-
-            travel_now = travel[frame_id]
             new_mask = mp.compute_new_sample_mask(lm, mc, mcfg, coord_world,
                                                   batch.sdf_label, batch.valid)
-            knn_g, knn_w, knn_vec = mp.append_knn(dilated, mc, offsets,
-                                                  coord_world, travel_now,
-                                                  pos_encode_fn)
+            knn_g, knn_w, knn_vec = mp.append_knn(
+                lm, mc, offsets, coord_world, sc.ray_sample_count,
+                near_count=1 + sc.surface_sample_n,
+                quats=(state.attr_rows[:, npts.C_QUAT] if after_pgo else None),
+                pos_encode=pos_encode_fn)
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
                                   batch.sdf_label, batch.weight, batch.valid,
                                   frame_id, new_mask, batch.sem_label,
                                   batch.color_label, knn_g, knn_w, knn_vec)
-            return state, dilated, lm, pool
+            return state, lm, pool
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 6), static_argnums=(19,))
-        def update_and_train(state, dilated, lm, pool, key, decoders, travel,
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 5), static_argnums=(17,))
+        def update_and_train(state, lm, pool, key, decoders, travel,
                              stop_count, points, valid, pose_R, pose_t,
-                             track_ok, tran_sel, frame_id, rebuild,
+                             track_ok, tran_sel, frame_id,
                              sem_labels, colors, dec_scale, after_pgo):
             """Stages IV-a + IV-b fused into ONE device program per frame:
             travel-dist update, sampling/insert/local-map/pool, ``cfg.iters``
@@ -307,9 +316,10 @@ class SlamSystem:
             use_new = track_ok & ~(stop_count > cfg.stop_frame_thre)
             valid_t = valid & track_ok
 
-            state, dilated, lm2, pool = frame_update(
-                state, dilated, lm, pool, k_sample, points, valid_t, pose_R,
-                pose_t, frame_id, travel, rebuild, sem_labels, colors, geo_p)
+            state, lm2, pool = frame_update(
+                state, lm, pool, k_sample, points, valid_t, pose_R,
+                pose_t, frame_id, travel, sem_labels, colors, geo_p,
+                after_pgo=after_pgo)
             # ---- training with pool-cached kNN on the compact local feature
             # table + certainty channel (mapper.mapping_loop_cached) ----
             L = mc.local_capacity
@@ -319,10 +329,9 @@ class SlamSystem:
                 features=featsC, color_features=lm2.color_features,
                 geo=geo_p, sem=sem_p, color=color_p)
             opt_state = mp.init_opt_state(mcfg, params)
-            lm3, params2, opt_state, loss_hist = mp.mapping_loop_cached(
-                lm2, mc, params, opt_state, pool, mcfg, key, dec_scale,
-                use_new, num_iters=int(cfg.iters), after_pgo=after_pgo,
-                pos_encode=pos_encode_fn)
+            lm3, params2, opt_state, loss_hist = train_loop(
+                int(cfg.iters), after_pgo)(
+                lm2, params, opt_state, pool, key, dec_scale, use_new)
             lm3 = lm3._replace(
                 geo_features=params2.features[:, : mc.feature_dim],
                 color_features=params2.color_features)
@@ -332,7 +341,7 @@ class SlamSystem:
             lm_out = pick(lm3, lm2)
             params_out = pick(params2, params)
             state = npts.assign_local_to_global(state, lm_out, mc, travel)
-            return (state, dilated, lm_out, pool, params_out, opt_state, travel,
+            return (state, lm_out, pool, params_out, opt_state, travel,
                     stop_count, loss_hist)
 
         @partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
@@ -340,10 +349,8 @@ class SlamSystem:
                         after_pgo, travel):
             """One extra chunk of ``cfg.iters`` training iterations threading
             the Adam state — the frame-0 boost (ref pin_slam.py:244-248)."""
-            lm2, params2, opt2, hist = mp.mapping_loop_cached(
-                lm, mc, params, opt_state, pool, mcfg, key, dec_scale,
-                jnp.asarray(True), num_iters=int(cfg.iters),
-                after_pgo=after_pgo, pos_encode=pos_encode_fn)
+            lm2, params2, opt2, hist = train_loop(int(cfg.iters), after_pgo)(
+                lm, params, opt_state, pool, key, dec_scale, jnp.asarray(True))
             lm2 = lm2._replace(
                 geo_features=params2.features[:, : mc.feature_dim],
                 color_features=params2.color_features)
@@ -472,16 +479,13 @@ class SlamSystem:
         col = jnp.asarray(frame.colors) if frame.colors is not None else None
 
         dec_scale = jnp.float32(0.0 if self.frame_id >= cfg.freeze_after_frame else 1.0)
-        rebuild = (self._force_dilated_rebuild
-                   or self.frame_id % max(cfg.dilated_rebuild_freq, 1) == 0)
-        self._force_dilated_rebuild = False
 
-        (self.state, self.dilated, self.lm, self.pool, params, opt_state,
+        (self.state, self.lm, self.pool, params, opt_state,
          self._travel, self._stop_count, loss_hist) = self._update_and_train(
-            self.state, self.dilated, self.lm, self.pool, k_frame,
+            self.state, self.lm, self.pool, k_frame,
             (self.geo_params, self.sem_params, self.color_params), self._travel,
             self._stop_count, points, valid, R_sel, t_w, ok_dev, tran_dev,
-            jnp.int32(self.frame_id), jnp.asarray(rebuild), sem, col,
+            jnp.int32(self.frame_id), sem, col,
             dec_scale, bool(self.after_pgo))
 
         if tracked and not conservative:
@@ -602,7 +606,9 @@ class SlamSystem:
             pos = np.asarray(self.lm.positions).astype(np.float64)
             local_pts = ((pos - tw) @ Rw).astype(np.float32)
             valid = np.arange(pos.shape[0]) < int(self.lm.count)
-            self.loop_mgr.add_node(fid, local_pts, valid)
+            feats = (np.asarray(self.lm.geo_features)
+                     if cfg.loop_with_feature else None)
+            self.loop_mgr.add_node(fid, local_pts, valid, feats)
 
         if self.gt_loop_mgr is not None and self.dataset.gt_pose_provided:
             self.gt_loop_mgr.add_node(fid, self.dataset.gt_poses[fid])
@@ -709,10 +715,9 @@ class SlamSystem:
         poses_full[: new_poses.shape[0]] = new_poses.astype(np.float32)
         self.pool = mp.pool_retransform(self.pool, jnp.asarray(poses_full))
         # both the samples and the neural points moved: recompute the cached
-        # kNN geometry and rebuild the dilated table at the next frame
+        # kNN geometry from the deformed positions/quaternions
         self.pool = mp.pool_refresh_cache(self.pool, self.state.attr_rows,
                                           self.mc, self._pos_encode_fn)
-        self._force_dilated_rebuild = True
 
         self.dataset.update_poses_after_pgo(new_poses)
         self.cur_pose = new_poses[fid].copy()
@@ -813,29 +818,63 @@ class SlamSystem:
             count = int(self.state.count)
             pts = np.asarray(self.state.positions[:count])
             if count > 0:
-                # mesh from a whole-map view: relax the locality windows so the
-                # "local" map covers every neural point (global query mode,
-                # ref vis_pin_map.py:70)
-                import dataclasses as _dc
-
-                mc_all = _dc.replace(self.mc, local_map_radius=1e6,
-                                     travel_dist_window=1e9)
-                if count > mc_all.local_capacity and not cfg.silence:
-                    print(f"[pipeline] save_mesh: map has {count} points but "
-                          f"local capacity is {mc_all.local_capacity}; mesh "
-                          "covers the first part only")
-                lm_all = npts.build_local_map(
-                    self.state, mc_all,
-                    jnp.asarray(pts.mean(0).astype(np.float32)),
-                    jnp.int32(self.frame_id), self._travel)
-                mesher = Mesher(MesherConfig(
+                # mesh from whole-map views (global query mode, ref
+                # vis_pin_map.py:70): each chunk gets its own read-only
+                # radius-selected view (build_query_view), so maps larger
+                # than local_capacity mesh COMPLETELY — the view just has to
+                # hold one chunk's points at a time
+                mesher_cfg = MesherConfig(
                     mc_res_m=cfg.mc_res_m, mesh_min_nn=cfg.mesh_min_nn,
                     min_cluster_vertices=cfg.min_cluster_vertices,
-                    query_bucket=cfg.mesh_query_bucket), mc_all, self.offsets)
-                chunks = split_chunks(pts, chunk_m=60.0, pad=1.0)
-                verts, faces, colors, sems = mesher.recon_aabb_collections_mesh(
-                    lm_all, self.geo_params, self.sdf_scale, chunks,
-                    color_params=self.color_params, sem_params=self.sem_params)
+                    query_bucket=cfg.mesh_query_bucket)
+                # adaptive chunking: shrink chunk_m until every chunk's
+                # neural points fit comfortably in one query view — a
+                # saturated view drops points and leaves holes in the mesh
+                chunk_m = 60.0
+                while chunk_m > 4.0:
+                    chunks = split_chunks(pts, chunk_m=chunk_m, pad=1.0)
+                    biggest = max(
+                        (((pts[:, 0] >= a[0]) & (pts[:, 0] < b[0])
+                          & (pts[:, 1] >= a[1]) & (pts[:, 1] < b[1])).sum()
+                         for a, b in chunks), default=0)
+                    if biggest <= 0.7 * self.mc.local_capacity:
+                        break
+                    chunk_m /= 2.0
+                mesher = Mesher(mesher_cfg, self.mc, self.offsets)
+                margin = float(np.sqrt(self.mc.max_valid_dist2)) + 1.0
+                all_v, all_f, all_c, all_s, off = [], [], [], [], 0
+                for amin, amax in chunks:
+                    center = ((amin + amax) / 2).astype(np.float32)
+                    radius = float(np.linalg.norm((amax - amin) / 2)) + margin
+                    lm_chunk = npts.build_query_view(
+                        self.state, self.mc, jnp.asarray(center),
+                        jnp.float32(radius))
+                    if (int(lm_chunk.count) >= self.mc.local_capacity
+                            and not cfg.silence):
+                        print(f"[pipeline] save_mesh: chunk at {center} "
+                              f"overflows local capacity "
+                              f"{self.mc.local_capacity}; reduce chunk_m")
+                    v, f, c, s = mesher.recon_aabb_mesh(
+                        lm_chunk, self.geo_params, self.sdf_scale, amin, amax,
+                        color_params=self.color_params,
+                        sem_params=self.sem_params)
+                    if v.shape[0] == 0:
+                        continue
+                    all_v.append(v)
+                    all_f.append(f + off)
+                    off += v.shape[0]
+                    if c is not None:
+                        all_c.append(c)
+                    if s is not None:
+                        all_s.append(s)
+                if all_v:
+                    verts = np.concatenate(all_v)
+                    faces = np.concatenate(all_f)
+                    colors = np.concatenate(all_c) if all_c else None
+                else:
+                    verts = np.zeros((0, 3), np.float32)
+                    faces = np.zeros((0, 3), np.int64)
+                    colors = None
                 if len(verts):
                     from pin_slam_tpu.ops.marching_cubes import vertex_normals
 

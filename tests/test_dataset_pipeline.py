@@ -122,11 +122,11 @@ def test_frame_voxel_downsample_in_pipeline(rng):
     pts = np.column_stack([
         np.full(n, 5.0) + rng.normal(0, 0.01, n),
         rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)]).astype(np.float32)
-    state, dilated, lm, pool = system._frame_update(
-        system.state, system.dilated, system.lm, system.pool,
-        jax.random.PRNGKey(0), jnp.asarray(pts), jnp.ones((n,), bool),
-        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32), jnp.int32(0),
-        system._travel, jnp.asarray(True), None, None, system.geo_params)
+    state, lm, pool = system._frame_update(
+        system.state, system.lm, system.pool, jax.random.PRNGKey(0),
+        jnp.asarray(pts), jnp.ones((n,), bool), jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), jnp.int32(0), system._travel, None, None,
+        system.geo_params)
 
     rows = np.asarray(pool.rows)
     valid = (np.arange(rows.shape[0]) < int(pool.fill)) & (rows[:, mp.P_TS] >= 0)

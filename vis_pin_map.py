@@ -51,10 +51,10 @@ def main(argv=None) -> int:
     state, geo, sem, color = load_implicit_map(map_path, mc)
     print(f"[vis_pin_map] loaded {int(state.count)} neural points from {map_path}")
 
-    # the whole map becomes the "local" map (global query mode,
+    # the whole map becomes a read-only query view (global query mode,
     # ref vis_pin_map.py:70 recreate_hash + global queries)
-    travel = jnp.zeros((1 << 16,), jnp.float32)
-    lm = npts.build_local_map(state, mc, jnp.zeros(3), jnp.int32(0), travel)
+    lm = npts.build_query_view(state, mc, jnp.zeros(3, jnp.float32),
+                               jnp.float32(1e6))
     offsets = jnp.asarray(npts.neighbor_offsets(2, 0.2))
 
     pts = np.asarray(state.positions[: int(state.count)])
