@@ -139,10 +139,12 @@ def main():
     cfg.silence = True
     cfg.min_range, cfg.max_range = 2.0, 20.0
     # static-shape capacities sized to the scene (a KITTI-city run would set
-    # these in its YAML the same way; oversizing costs gather/scatter width)
-    cfg.map_capacity = 1 << 20
-    cfg.local_map_capacity = 1 << 17
-    cfg.buffer_size = 1 << 22
+    # these in its YAML the same way; oversizing costs gather/scatter width).
+    # The 60x30 m corridor world peaks at ~41k map points / ~38k local points;
+    # 2^18 / 2^16 give 6x / 1.7x headroom
+    cfg.map_capacity = 1 << 18
+    cfg.local_map_capacity = 1 << 16
+    cfg.buffer_size = 1 << 21
     cfg.pool_capacity = 1 << 21
     cfg.downsample_hash_size = 1 << 19
     cfg.frame_bucket = 1 << 15

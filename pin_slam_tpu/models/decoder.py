@@ -64,6 +64,21 @@ def sdf(params: DecoderParams, features: jax.Array, sdf_scale: float) -> jax.Arr
     return _mlp(params, features)[..., 0] * sdf_scale
 
 
+def time_conditioned_sdf(params: DecoderParams, features: jax.Array,
+                         ts: jax.Array, sdf_scale: float) -> jax.Array:
+    """SDF head with a per-query timestamp channel appended to the feature
+    vector (ref model/decoder.py:91-112 ``time_conditionded_sdf``; the decoder
+    must have been initialized with ``in_dim = feature_dim + 1``, ref
+    model/decoder.py:37).  Dormant in every shipped reference profile but part
+    of the decoder surface.
+
+    features: (..., F); ts: broadcastable to features[..., :1].
+    """
+    t = jnp.broadcast_to(jnp.asarray(ts, features.dtype)[..., None],
+                         features.shape[:-1] + (1,))
+    return _mlp(params, jnp.concatenate([features, t], axis=-1))[..., 0] * sdf_scale
+
+
 def occupancy(params: DecoderParams, features: jax.Array, sdf_scale: float) -> jax.Array:
     """Occupancy probability (ref model/decoder.py:115-117)."""
     return jax.nn.sigmoid(_mlp(params, features)[..., 0] * -1.0)

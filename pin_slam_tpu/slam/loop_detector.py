@@ -207,10 +207,17 @@ class NeuralPointMapContextManager:
         self.frame_ids.append(frame_id)
 
     def detect_global_loop(self, cur_drift: float, travel_dist: List[float],
-                           cur_frame: int, k_prefilter: int = 10
+                           cur_frame: int, k_prefilter: int = 10,
+                           poses: Optional[np.ndarray] = None
                            ) -> Tuple[int, float, float]:
         """Returns (loop_frame_id, cos_dist, yaw_rad) or (-1, inf, 0)
-        (ref utils/loop_detector.py:132-256)."""
+        (ref utils/loop_detector.py:132-256).
+
+        ``poses``: when given, candidates are restricted to past poses within
+        3x the estimated drift of the current pose (the reference's candidate
+        mask, pin_slam.py:177-178) — without it, self-similar environments
+        (e.g. the rotationally symmetric corners of a square room) produce
+        confidently-wrong matches that poison the pose graph."""
         lc = self.lc
         if len(self.descriptors) < 2:
             return -1, np.inf, 0.0
@@ -218,10 +225,14 @@ class NeuralPointMapContextManager:
         cur_rk = self.ring_keys[-1][0]
 
         min_travel = lc.min_travel_dist_ratio * lc.local_map_radius
+        dist_thre = 3.0 * cur_drift
         cands = []
         for idx in range(len(self.descriptors) - 1):
             fid = self.frame_ids[idx]
             if travel_dist[cur_frame] - travel_dist[fid] < min_travel:
+                continue
+            if poses is not None and np.linalg.norm(
+                    poses[fid][:3, 3] - poses[cur_frame][:3, 3]) > dist_thre:
                 continue
             cands.append(idx)
         if not cands:

@@ -213,7 +213,8 @@ def idw_blend(points: jax.Array, nbr_pos: jax.Array, valid: jax.Array,
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     w = jnp.where(valid, w, 0.0)
     enc = pos_encode(vec) if pos_encode is not None else vec
-    vec_blend = jnp.einsum("...k,...kp->...p", w, enc)
+    vec_blend = jnp.einsum("...k,...kp->...p", w, enc,
+                           precision=jax.lax.Precision.HIGHEST)
     return w, vec_blend
 
 
@@ -242,14 +243,23 @@ def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k):
     dist2 = jnp.where(valid, dist2, npts._INVALID_DIST2)
 
     sel = exact_k_min(dist2, k)                           # (G,n,k)
-    take = lambda a: jnp.take_along_axis(
-        jnp.broadcast_to(a[:, None], valid.shape), sel, axis=-1)
-    gidx_k = jnp.where(jnp.take_along_axis(valid, sel, axis=-1),
-                       take(gidx), -1)
-    pos_k = jnp.take_along_axis(
-        jnp.broadcast_to(nbr[:, None], query_pts.shape[:2] + nbr.shape[1:]),
-        sel[..., None], axis=-2)
-    return gidx_k, pos_k, gidx_k >= 0
+    # one-hot MXU selection: take_along_axis lowers to per-ELEMENT gathers on
+    # TPU (measured ~30 ms at these shapes vs ~2 ms for the einsum select)
+    onehot = (sel[..., None] == jnp.arange(offsets.shape[0],
+                                           dtype=sel.dtype)
+              ).astype(jnp.float32)                       # (G,n,k,K)
+    payload = jnp.concatenate(
+        [nbr, gidx.astype(jnp.float32)[..., None]], axis=-1)       # (G,K,4)
+    # HIGHEST precision: the payload carries value-cast INDICES (up to 2^24)
+    # and metric positions — the TPU MXU's default bf16 inputs corrupt both
+    sel_pay = jnp.einsum("gnkK,gKc->gnkc", onehot, payload,
+                         precision=jax.lax.Precision.HIGHEST)
+    pos_k = sel_pay[..., :3]
+    gidx_sel = jnp.round(sel_pay[..., 3]).astype(jnp.int32)
+    valid_k = jnp.einsum("gnkK,gnK->gnk", onehot, valid.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST) > 0.5
+    gidx_k = jnp.where(valid_k, gidx_sel, -1)
+    return gidx_k, pos_k, valid_k
 
 
 def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,

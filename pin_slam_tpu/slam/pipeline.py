@@ -53,6 +53,11 @@ class SlamSystem:
 
     def __init__(self, config: Config, dataset: Optional[SLAMDataset] = None):
         self.config = config
+        # every matmul in this framework is tiny (64-wide MLPs, k=6 blends,
+        # one-hot selects); the TPU MXU's default bf16 input rounding corrupts
+        # value-carrying contractions (indices, metric coordinates) and biases
+        # the registration Jacobians — force f32-equivalent everywhere
+        jax.config.update("jax_default_matmul_precision", "highest")
         self.dataset = dataset if dataset is not None else SLAMDataset(config)
 
         self.mc = npts.MapConfig.from_config(config)
@@ -640,7 +645,7 @@ class SlamSystem:
             yaw = 0.0
             if loop_id < 0 and self.loop_mgr is not None:
                 loop_id, cosdist, yaw = self.loop_mgr.detect_global_loop(
-                    drift, self.dataset.travel_dist, fid)
+                    drift, self.dataset.travel_dist, fid, poses=poses)
         if loop_id < 0:
             return
         # delta-z sanity check for multi-floor ambiguity (ref pin_slam.py:180-183)

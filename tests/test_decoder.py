@@ -74,3 +74,24 @@ def test_grad_flows():
     assert float(jnp.abs(g.hidden[0][0]).sum()) > 0
     gx = jax.grad(loss, argnums=1)(params, x)
     assert gx.shape == x.shape
+
+
+def test_time_conditioned_sdf():
+    """Time channel appended to the feature vector (ref model/decoder.py:91-112)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pin_slam_tpu.models import decoder as dec
+
+    F = 8
+    params = dec.init_decoder(jax.random.PRNGKey(0), F + 1, 32, 1, 1)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (64, F))
+    ts = jnp.linspace(0.0, 1.0, 64)
+    out = dec.time_conditioned_sdf(params, feats, ts, 0.055)
+    assert out.shape == (64,)
+    # equals the plain head on manually concatenated input
+    ref = dec.sdf(params, jnp.concatenate([feats, ts[:, None]], -1), 0.055)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    # the time channel matters: different ts -> different sdf
+    out2 = dec.time_conditioned_sdf(params, feats, ts + 0.5, 0.055)
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-4

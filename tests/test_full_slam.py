@@ -18,15 +18,23 @@ from pin_slam_tpu.slam.pipeline import SlamSystem
 
 
 def make_square_dataset(root, rng, side=8.0, step=0.8):
-    """Square path in a 30x30 room with clutter; KITTI-format frames on disk."""
+    """Square path in a 30x30 room with clutter; KITTI-format frames on disk.
+
+    The scans are PHYSICAL: every world point carries its outward surface
+    normal, and each frame keeps only points that face the sensor (backface
+    cull) and win a spherical depth buffer (occlusion) — like a real LiDAR.
+    Without this, through-wall points poison the SDF labels and make the
+    scene hostile to ANY point-to-implicit tracker (both this system and the
+    torch reference plateau ~0.45 m on the unculled variant)."""
     os.makedirs(f"{root}/velodyne", exist_ok=True)
     # yaw observability needs vertical structure: keep the ground sparse and
     # the walls/clutter dense (a ground-dominated scene shrinks the rotation
     # convergence basin of ANY point-to-implicit tracker)
-    world = []
+    world, normals = [], []
     g = rng.uniform([-15, -15, 0], [15, 15, 0], size=(20000, 3))
     g[:, 2] = -1.5 + 0.02 * rng.standard_normal(20000)
     world.append(g)
+    normals.append(np.tile([0.0, 0.0, 1.0], (20000, 1)))
     for axis, sign in [(0, -15.0), (0, 15.0), (1, -15.0), (1, 15.0)]:
         n_w = 30000
         w = np.empty((n_w, 3))
@@ -34,18 +42,26 @@ def make_square_dataset(root, rng, side=8.0, step=0.8):
         w[:, 1 - axis] = rng.uniform(-15, 15, n_w)
         w[:, 2] = rng.uniform(-1.5, 2.0, n_w)
         world.append(w)
+        nv = np.zeros((n_w, 3))
+        nv[:, axis] = -np.sign(sign)          # walls face inward
+        normals.append(nv)
     for _ in range(70):
         cx, cy = rng.uniform(-13, 13, 2)
         if abs(abs(cx) - side / 2) < 1.5 and abs(cy) < side / 2 + 1.5:
             continue  # keep the path corridor free
         if abs(abs(cy) - side / 2) < 1.5 and abs(cx) < side / 2 + 1.5:
             continue
-        p = rng.uniform(-1, 1, size=(4000, 3)) * rng.uniform(0.3, 1.5, 3)
-        p[:, 2] = rng.uniform(-1.5, 1.5, 4000)
-        p[:, 0] += cx
-        p[:, 1] += cy
+        # clutter pillars as SURFACES with radial normals
+        radius = rng.uniform(0.3, 1.2)
+        ang = rng.uniform(0, 2 * np.pi, 4000)
+        p = np.column_stack([cx + radius * np.cos(ang),
+                             cy + radius * np.sin(ang),
+                             rng.uniform(-1.5, 1.5, 4000)])
         world.append(p)
+        normals.append(np.column_stack([np.cos(ang), np.sin(ang),
+                                        np.zeros_like(ang)]))
     world = np.concatenate(world).astype(np.float32)
+    normals = np.concatenate(normals).astype(np.float32)
 
     # rounded-square centerline, parameterized by arc length so the path
     # CLOSES exactly and the final frames re-traverse the first leg (a genuine
@@ -98,6 +114,7 @@ def make_square_dataset(root, rng, side=8.0, step=0.8):
         s += v
         frame += 1
 
+    n_az, n_el = 900, 64
     poses = []
     for f, (p, hd) in enumerate(waypoints):
         c, s = np.cos(hd), np.sin(hd)
@@ -108,9 +125,20 @@ def make_square_dataset(root, rng, side=8.0, step=0.8):
         Tinv = np.linalg.inv(T)
         local = world @ Tinv[:3, :3].T + Tinv[:3, 3]
         dist = np.linalg.norm(local, axis=1)
-        keep = (dist > 2.0) & (dist < 20.0)
-        pts = local[keep]
-        sub = rng.choice(pts.shape[0], min(15000, pts.shape[0]), replace=False)
+        facing = np.einsum("ij,ij->i", p - world, normals) > 0
+        keep = (dist > 2.0) & (dist < 20.0) & facing
+        pts, d = local[keep], dist[keep]
+        # spherical depth buffer: nearest return per az/el bin (occlusion)
+        az = np.arctan2(pts[:, 1], pts[:, 0])
+        el = np.arcsin(np.clip(pts[:, 2] / d, -1.0, 1.0))
+        ia = np.clip(((az + np.pi) / (2 * np.pi) * n_az).astype(np.int64),
+                     0, n_az - 1)
+        ie = np.clip(((el + 0.6) / 1.2 * n_el).astype(np.int64), 0, n_el - 1)
+        order = np.argsort(d, kind="stable")
+        _, first = np.unique((ia * n_el + ie)[order], return_index=True)
+        pts = pts[order[first]]
+        sub = rng.choice(pts.shape[0], min(15000, pts.shape[0]),
+                         replace=False)
         out = np.concatenate([pts[sub],
                               rng.uniform(0, 1, (sub.size, 1)).astype(np.float32)],
                              axis=1).astype(np.float32)
@@ -166,19 +194,19 @@ def test_square_loop_with_pgo(tmp_path):
     assert len(loop_edges) >= 1, "no loop factor was added"
     assert system.after_pgo, "PGO never applied (after_pgo still False)"
 
-    # PGO must not make the trajectory worse than raw odometry, and the final
-    # result must stay in a sane range.  (Tight accuracy asserts are knife-edge
-    # on this synthetic scene: CPU-thread nondeterminism at the corner frames
-    # flips between ~0.15 m and ~5 m endpoint error runs — odometry robustness
-    # hardening is a tracked known issue.)
+    # PGO must not make the trajectory worse than raw odometry, and accuracy
+    # must hold tight: odometry-only on this scene measures 0.124 m endpoint
+    # (deterministic across repeats, experiments/repro_flaky.py), and the
+    # torch reference core on the IDENTICAL dataset anchors the bar
+    # (experiments/ref_headtohead.py) — see test below for the 1.5x gate.
     est = np.stack(system.dataset.pgo_poses)
     odom = np.stack(system.dataset.odom_poses)
     gt = system.dataset.gt_poses[: len(est)]
     end_err_pgo = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
     end_err_odom = np.linalg.norm(odom[-1][:3, 3] - gt[-1][:3, 3])
     assert end_err_pgo <= end_err_odom + 0.5, (end_err_pgo, end_err_odom)
-    assert end_err_pgo < 8.0, f"endpoint error {end_err_pgo:.2f} m"
-    assert metrics.get("ate_rmse_m", 99) < 8.0
+    assert end_err_pgo < 1.0, f"endpoint error {end_err_pgo:.2f} m"
+    assert metrics.get("ate_rmse_m", 99) < 0.5
 
 
 @pytest.mark.slow
@@ -205,9 +233,10 @@ def test_square_loop_global_scan_context(tmp_path, monkeypatch):
     cfg.silence = True
     cfg.pgo_on = True
     cfg.global_loop_on = True
+    cfg.local_map_context = True         # reference gate for the feature SC
     cfg.loop_with_feature = True         # feature-augmented SC variant
-    cfg.context_cosdist_threshold = 0.75  # feature distance is diluted by
-    #                                       empty bins (see test_loop_detector)
+    cfg.context_cosdist_threshold = 0.59  # +0.08+0.08 in _derive -> 0.75;
+    #            feature distance is diluted by empty bins (test_loop_detector)
     cfg.pgo_freq = 4
     cfg.min_loop_travel_dist_ratio = 1.0
     cfg.map_capacity = 1 << 18
