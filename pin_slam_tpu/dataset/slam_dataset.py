@@ -146,7 +146,6 @@ class SLAMDataset:
 
         # deskew with the constant-velocity relative motion (ref :344-351)
         if cfg.deskew and ts is not None and self.processed_frame > 0:
-            rel = np_se3_inverse(self.last_odom_tran)  # T_cur<-last approx of motion
             pts_j = deskew_points(jnp.asarray(points), jnp.asarray(ts, dtype=np.float32),
                                   jnp.asarray(self.last_odom_tran, dtype=np.float32))
             points = np.asarray(pts_j)
