@@ -93,7 +93,13 @@ class SLAMDataset:
         return self.total_pc_count
 
     def read_frame(self, frame_id: int):
-        """Disk -> numpy (ref slam_dataset.py:199-231)."""
+        """Disk -> numpy (ref slam_dataset.py:199-231).
+
+        Semantic labels come back as LEARNING-MAPPED classes in [0, 20):
+        raw SemanticKITTI ids are reduced through the learning map and
+        outlier / moving-class points are dropped from the frame
+        (ref dataset/slam_dataset.py:296-299 + :856-875 ``filter_sem_kitti``,
+        gated by ``filter_moving_object``)."""
         path = self.pc_filenames[frame_id]
         points, colors, ts = pio.read_point_cloud(path)
         sem = None
@@ -102,7 +108,17 @@ class SLAMDataset:
                 self.config.label_path,
                 os.path.splitext(os.path.basename(path))[0] + ".label")
             if os.path.exists(lab_path):
-                sem = pio.read_semantic_labels(lab_path)
+                raw = pio.read_semantic_labels(lab_path)
+                from pin_slam_tpu.utils.semantic_kitti import apply_learning_map
+
+                sem = apply_learning_map(raw)
+                # outlier filter (raw ids 0 = unlabeled, 1 = outlier) + the
+                # moving-object filter (raw ids >= 100 are moving classes)
+                inlier = raw > 1
+                if self.config.filter_moving_object:
+                    inlier &= raw < 100
+                points, colors, sem, ts = _mask_all(points, colors, sem, ts,
+                                                    inlier)
         if ts is None and self.config.deskew:
             ts = recover_point_ts(points, self.config.lidar_type_guess)
         return points, colors, sem, ts
