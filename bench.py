@@ -120,9 +120,11 @@ def lidar_scan(rng, world, origin, R, n_pts, max_range=20.0,
 
 
 def main():
-    from pin_slam_tpu.utils.platform import enable_compilation_cache
+    from pin_slam_tpu.utils.platform import (enable_compilation_cache,
+                                             set_matmul_precision)
 
     enable_compilation_cache()
+    set_matmul_precision()
     import jax
 
     from pin_slam_tpu.config import Config

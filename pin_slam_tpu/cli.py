@@ -41,8 +41,13 @@ def main(argv=None) -> int:
 
     import jax
 
+    from pin_slam_tpu.utils.platform import (enable_compilation_cache,
+                                             set_matmul_precision)
+
     if cfg.device and cfg.device != "tpu":
         jax.config.update("jax_platforms", cfg.device)
+    enable_compilation_cache()
+    set_matmul_precision()
 
     from pin_slam_tpu.slam.pipeline import SlamSystem
     from pin_slam_tpu.utils.experiment import setup_experiment

@@ -253,6 +253,13 @@ class Config:
         self.pgo_merge_map: bool = False
         self.rehash_with_time: bool = True
 
+        # ---------------- ROS node (ref utils/config.py:321-324) ----------------
+        self.publish_np_map: bool = True
+        self.publish_np_map_down_rate_list = [11, 23, 37, 53, 71, 89, 97,
+                                              113, 131, 151]  # prime strides
+        self.republish_raw_input: bool = False
+        self.timeout_duration_s: int = 30
+
         # ---------------- eval / vis ----------------
         self.wandb_vis_on: bool = False
         self.silence: bool = True

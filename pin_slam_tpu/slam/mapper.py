@@ -367,8 +367,11 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
         knn_gidx = jnp.full((n, 6), -1, jnp.int32)
     kk = knn_gidx.shape[1]
 
-    # pack the frame bucket, THEN compact with one wide row-gather
+    # pack the frame bucket, THEN compact with one wide row-gather.
+    # P_KNN starts at the -1 sentinel so a kk < 6 kNN never leaves column
+    # zeros behind that would read back as global point id 0 (ADVICE r2 #3)
     built = jnp.zeros((n, mcfg.pool_dim), jnp.float32)
+    built = built.at[:, P_KNN].set(-1.0)
     built = built.at[:, P_COORD].set(coord_world.astype(jnp.float32))
     built = built.at[:, P_LABEL].set(sdf_label)
     built = built.at[:, P_WEIGHT].set(weight)

@@ -26,3 +26,19 @@ def force_platform(name: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", name)
+
+
+def set_matmul_precision(precision: str = "highest") -> None:
+    """Pin the default matmul precision for this process.
+
+    Every matmul in this framework is tiny (64-wide MLPs, k=6 blends, one-hot
+    selects) and several carry value-cast indices or metric coordinates that
+    the TPU MXU's default bf16 input rounding corrupts silently (measured:
+    bench reg_valid 0/12 with the default).  Entry points call this explicitly
+    so the guarantee doesn't rely on constructing a ``SlamSystem``
+    (ADVICE r2 #4: library paths like the ``vis_pin_map`` query view need it
+    too, and a constructor should not silently mutate process-global state).
+    """
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", precision)

@@ -34,9 +34,11 @@ def main(argv=None) -> int:
     from pin_slam_tpu.models import neural_points as npts
     from pin_slam_tpu.slam.mesher import Mesher, MesherConfig, split_chunks
     from pin_slam_tpu.utils.experiment import load_implicit_map
-    from pin_slam_tpu.utils.platform import enable_compilation_cache
+    from pin_slam_tpu.utils.platform import (enable_compilation_cache,
+                                             set_matmul_precision)
 
     enable_compilation_cache()
+    set_matmul_precision()   # value-carrying contractions in the query view
 
     blob = np.load(map_path)
     n_pts = blob["positions"].shape[0]
