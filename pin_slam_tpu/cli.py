@@ -48,6 +48,13 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", cfg.device)
     enable_compilation_cache()
     set_matmul_precision()
+    # multi-host bring-up (no-op unless a multi-process launch is configured
+    # via PIN_SLAM_COORDINATOR/... or PIN_SLAM_DIST=1 — parallel/distributed.py)
+    from pin_slam_tpu.parallel.distributed import initialize as dist_init
+
+    if dist_init():
+        print(f"[pin-slam-tpu] jax.distributed: process "
+              f"{jax.process_index()}/{jax.process_count()}")
 
     from pin_slam_tpu.slam.pipeline import SlamSystem
     from pin_slam_tpu.utils.experiment import setup_experiment

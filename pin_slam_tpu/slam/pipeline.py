@@ -151,9 +151,11 @@ class SlamSystem:
         # batch sharded, map/decoder replicated, grad pmean over ICI
         dp_loops = {}
         if cfg.dp_devices > 1:
-            from pin_slam_tpu.parallel import mesh as pmesh
+            # flat data axis; host-major device order when running multi-host
+            # under jax.distributed (DCN outermost — parallel/distributed.py)
+            from pin_slam_tpu.parallel import distributed as pdist
 
-            self._dp_mesh = pmesh.make_mesh(cfg.dp_devices)
+            self._dp_mesh = pdist.make_global_mesh(cfg.dp_devices)
 
         def train_loop(num_iters: int, after_pgo: bool):
             if cfg.dp_devices > 1:
