@@ -136,8 +136,14 @@ def main():
     rng = np.random.default_rng(0)
     world = make_world(rng)
 
+    import os
+
     cfg = Config()                   # KITTI-like defaults: bs 16384, 15 iters
-    cfg.pgo_on = False
+    # PIN_SLAM_BENCH_PGO=1 measures the PGO-ON configuration (the KITTI
+    # profile's): per-frame graph bookkeeping + device-side SC descriptors,
+    # detection every pgo_freq frames — must stay within ~10% of pgo-off fps
+    # (VERDICT r2 item 4)
+    cfg.pgo_on = os.environ.get("PIN_SLAM_BENCH_PGO", "0") == "1"
     cfg.silence = True
     cfg.min_range, cfg.max_range = 2.0, 20.0
     # static-shape capacities sized to the scene (a KITTI-city run would set

@@ -98,6 +98,12 @@ class Config:
         self.layer_norm_on: bool = False
         self.voxel_size_m: float = 0.3
         self.max_points_per_voxel: int = 1
+        # TPU: optional SMALLER probe template for individually-probed
+        # free-space samples in the append-time kNN (0 = use the full
+        # num_nei_cells template).  Free-front samples dominate the probe's
+        # gathered rows; see mapper.append_knn.
+        self.far_num_nei_cells: int = 0
+        self.far_search_alpha: float = 0.6
         self.num_nei_cells: int = 2
         self.query_nn_k: int = 6
         self.use_mid_ts: bool = False

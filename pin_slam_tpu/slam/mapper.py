@@ -264,6 +264,7 @@ def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k):
 
 def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
                ray_sample_count: int, near_count: int,
+               behind_count: int = 0, far_offsets: Optional[jax.Array] = None,
                quats: Optional[jax.Array] = None, pos_encode=None):
     """kNN + cached geometry of one frame's samples at append time, with the
     probe SHARED along each ray (see the pool-row layout note): the first
@@ -285,11 +286,22 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
     reference's query-after-update ordering, utils/mapper.py:163-176,461).
 
     coords: (n_rays * ray_sample_count, 3) ray-major samples; the per-ray
-    layout is [endpoint, surface x n_surf, free-front x n_front, behind]
-    (ops/sampler.py) — ``near_count`` = 1 + n_surf.  ALL free-space samples
-    (front and behind) probe individually: behind samples reach up to
-    free_sample_end_dist_m (~1 m) past the endpoint, far outside the shared
-    ball.
+    layout is [endpoint, surface x n_surf, free-front x n_front, behind x
+    n_behind] (ops/sampler.py) — ``near_count`` = 1 + n_surf.
+
+    ``behind_count`` > 0 additionally routes the trailing behind-surface
+    samples through the ENDPOINT's shared ball: neural points live ON
+    surfaces, so a behind sample's neighbors (0.5-1 m inside the hit surface)
+    are the same endpoint-region points the shared ball already holds — only
+    a second surface sheet within ~1 m behind the first (a double wall
+    thicker than the ball radius) contributes candidates the shared ball
+    misses.  Distances/ranking stay exact per sample.  This cuts the
+    individually-probed free samples from n_front+n_behind to n_front per
+    ray (the probe's gathered rows are the dominant frame_update cost:
+    ~7 ns/row x 33 cells x every individually-probed sample).
+
+    Front free-space samples spread along the whole ray and always probe
+    individually.
     ``quats``: (cap+1, 4) global quaternion rows for the post-PGO offset
     rotation (identity until map deformation), or None.
 
@@ -300,14 +312,25 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
     n_rays = coords.shape[0] // Sn
     c3 = coords.reshape(n_rays, Sn, 3)
 
-    near = c3[:, :near_count]
-    far = c3[:, near_count:]
+    if behind_count > 0:
+        near = jnp.concatenate([c3[:, :near_count],
+                                c3[:, Sn - behind_count:]], axis=1)
+        far = c3[:, near_count:Sn - behind_count]
+    else:
+        near = c3[:, :near_count]
+        far = c3[:, near_count:]
 
     g_near, p_near, v_near = _probe_rank(lm, mc, offsets, c3[:, 0], near, k)
     if far.shape[1] > 0:
         far_flat = far.reshape(-1, 3)
-        g_far, p_far, v_far = _probe_rank(lm, mc, offsets, far_flat,
-                                          far_flat[:, None, :], k)
+        # optional narrower template for the individually-probed free-space
+        # samples (config far_num_nei_cells): they carry free-space BCE labels
+        # whose sigmoid targets saturate away from surfaces, so a shorter
+        # candidate reach costs little supervision while the probe's gathered
+        # rows (the dominant frame_update cost) shrink proportionally
+        g_far, p_far, v_far = _probe_rank(
+            lm, mc, offsets if far_offsets is None else far_offsets,
+            far_flat, far_flat[:, None, :], k)
         g_far = g_far.reshape(n_rays, -1, k)
         p_far = p_far.reshape(n_rays, -1, k, 3)
         v_far = v_far.reshape(n_rays, -1, k)
@@ -316,10 +339,14 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
         p_far = jnp.zeros((n_rays, 0, k, 3), jnp.float32)
         v_far = jnp.zeros((n_rays, 0, k), bool)
 
-    # reassemble in the sampler's per-ray order (near prefix + free tail)
-    gidx = jnp.concatenate([g_near, g_far], axis=1)
-    pos = jnp.concatenate([p_near, p_far], axis=1)
-    valid = jnp.concatenate([v_near, v_far], axis=1)
+    # reassemble in the sampler's per-ray order
+    # [near prefix, free-front, behind (from the shared-ball block)]
+    gidx = jnp.concatenate(
+        [g_near[:, :near_count], g_far, g_near[:, near_count:]], axis=1)
+    pos = jnp.concatenate(
+        [p_near[:, :near_count], p_far, p_near[:, near_count:]], axis=1)
+    valid = jnp.concatenate(
+        [v_near[:, :near_count], v_far, v_near[:, near_count:]], axis=1)
 
     gidx = gidx.reshape(-1, k)
     pos = pos.reshape(-1, k, 3)
@@ -923,14 +950,14 @@ def _mapping_loop_fast(lm: npts.LocalMap, mc: npts.MapConfig,
 
 
 @partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters", "after_pgo",
-                                   "pos_encode", "axis_name"))
+                                   "pos_encode", "axis_name", "unroll"))
 def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
                         params: TrainableParams, opt_state: AdamState,
                         pool: PoolState,
                         mcfg: MapperConfig, key: jax.Array,
                         decoder_lr_scale: jax.Array, use_new: jax.Array,
                         num_iters: int, after_pgo: bool = False,
-                        pos_encode=None, axis_name=None):
+                        pos_encode=None, axis_name=None, unroll: int = 1):
     """The per-frame training loop with POOL-CACHED kNN — the TPU-native
     production path (ref utils/mapper.py:425-593 ``mapping``).
 
@@ -1116,8 +1143,11 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
         return (params_c, opt_c, cert_acc), loss
 
     cert0 = jnp.zeros((L + 1,), jnp.float32)
+    # unroll>1 trades compile time for fewer per-iteration kernel-launch
+    # sequences (the scan body is ~dozens of small fused kernels whose launch
+    # overhead is a measurable slice of the ~4.7 ms/iter on v5e)
     (params, opt_state, cert_acc), loss_hist = jax.lax.scan(
-        one_iter, (params, opt_state, cert0), xs)
+        one_iter, (params, opt_state, cert0), xs, unroll=unroll)
 
     # ---- fold certainty/ts bookkeeping into the local attribute rows (dense
     # column ops; ref model/neural_points.py:634-652).  ts_update uses the

@@ -126,6 +126,24 @@ def test_append_knn_grouped_near_surface(rng):
     free_close = rows_close.reshape(n_rays, Sn)[:, 3:]
     assert free_close.mean() > 0.95, f"{free_close.mean():.2%} free rows"
 
+    # behind_count=1: the behind sample shares the ENDPOINT ball instead of
+    # probing its own (the surface points around the endpoint ARE its
+    # neighborhood — points live on surfaces, not inside them); for small
+    # behind offsets the sets must still agree, and the front free sample
+    # (its own ball) must be unchanged
+    gidx_b, w_b, vecb_b = mp.append_knn(lm, mc, offsets, jnp.asarray(coords),
+                                        ray_sample_count=Sn, near_count=3,
+                                        behind_count=1)
+    d_b = sorted_d2(np.asarray(gidx_b), coords)
+    close_b = (np.isclose(d_ref, d_b, rtol=2e-2, atol=1e-6)
+               | ~(np.isfinite(d_ref) & np.isfinite(d_b))).reshape(n_rays, Sn, -1)
+    # the disagreement concentrates in the low-IDW-weight rank-4..6 tail
+    # (~24% weight mass); the dominant neighbors must agree
+    assert close_b[:, 4, 0].mean() > 0.95, "behind nearest-1"
+    assert close_b[:, 4, :3].all(axis=1).mean() > 0.85, "behind nearest-3"
+    np.testing.assert_array_equal(np.asarray(gidx_b).reshape(n_rays, Sn, -1)[:, 3],
+                                  gid_grp.reshape(n_rays, Sn, -1)[:, 3])
+
 
 def test_cached_training_matches_fast_path(rng):
     """mapping_loop_cached driven by append_knn caches must reproduce the

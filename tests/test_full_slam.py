@@ -195,18 +195,20 @@ def test_square_loop_with_pgo(tmp_path):
     assert system.after_pgo, "PGO never applied (after_pgo still False)"
 
     # PGO must not make the trajectory worse than raw odometry, and accuracy
-    # must hold tight: odometry-only on this scene measures 0.124 m endpoint
-    # (deterministic across repeats, experiments/repro_flaky.py), and the
-    # torch reference core on the IDENTICAL dataset anchors the bar
-    # (experiments/ref_headtohead.py) — see test below for the 1.5x gate.
+    # must hold tight: odometry-only on this scene measures 0.042 m endpoint
+    # (r3, after the new-region boost was restricted to surface samples —
+    # see ACCURACY.md), matching the torch reference's 0.04 m pre-divergence
+    # anchor (experiments/ref_headtohead.py).  Gates at ~5x the measured
+    # values to absorb scene-realization noise (VERDICT r2 ask: endpoint
+    # < 0.3 m, ATE < 0.15 m).
     est = np.stack(system.dataset.pgo_poses)
     odom = np.stack(system.dataset.odom_poses)
     gt = system.dataset.gt_poses[: len(est)]
     end_err_pgo = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
     end_err_odom = np.linalg.norm(odom[-1][:3, 3] - gt[-1][:3, 3])
     assert end_err_pgo <= end_err_odom + 0.5, (end_err_pgo, end_err_odom)
-    assert end_err_pgo < 1.0, f"endpoint error {end_err_pgo:.2f} m"
-    assert metrics.get("ate_rmse_m", 99) < 0.5
+    assert end_err_pgo < 0.3, f"endpoint error {end_err_pgo:.2f} m"
+    assert metrics.get("ate_rmse_m", 99) < 0.15
 
 
 @pytest.mark.slow
