@@ -31,7 +31,10 @@ from pin_slam_tpu.dataset.slam_dataset import Frame
 from pin_slam_tpu.ops.voxel import pad_to
 from pin_slam_tpu.slam.pipeline import SlamSystem
 
-N_WARM, N_BENCH = 8, 8
+# warmup must cover EVERY per-frame code path's compile, incl. pool_filter at
+# frame pool_filter_freq-1 (one in-window compile once inflated the kitti
+# config 4x — measured 2129 ms/frame vs its true ~560 ms steady state)
+N_WARM, N_BENCH = 12, 8
 
 CONFIGS = [
     # (name, map_cap, local_cap, buffer, pool, frame_bucket, n_rays)

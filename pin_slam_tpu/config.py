@@ -498,3 +498,8 @@ class Config:
         # keep buckets sane w.r.t. the chosen ranges
         self.pool_capacity = int(self.pool_capacity)
         self.buffer_size = int(self.buffer_size)
+        if self.mapping_freq_frame != 1 and not self.silence:
+            # every shipped reference profile uses 1; the fused per-frame
+            # update+train program has no skip-training variant yet
+            print("[config] mapping_freq_frame != 1 is treated as 1 "
+                  "(training runs every frame)")
