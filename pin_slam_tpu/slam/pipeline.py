@@ -783,7 +783,7 @@ class SlamSystem:
         params, xi, _ = mp.bundle_adjustment_loop(
             self.lm, self.mc, params, self.pool, self.mcfg, self.offsets,
             jnp.asarray(poses_full), jnp.int32(window_start), xi0, k_ba,
-            num_iters=min(cfg.iters, 10), window=window)
+            num_iters=cfg.iters * 4, window=window)  # ref pin_slam.py:253
 
         self.lm = self.lm._replace(geo_features=params.features,
                                    color_features=params.color_features)
