@@ -58,10 +58,15 @@ class MapperConfig:
     new_certainty_thre: float = 1.0
     vec_dim: int = 3              # width of the cached blended offset vector
     #                               (= encoded_dim(3, band) with pos encoding)
+    weighted_first: bool = True   # False: per-neighbor decode + prediction
+    #                               blend (ref utils/config.py:89); the pool
+    #                               rows then additionally cache PER-NEIGHBOR
+    #                               offset vectors (k * vec_dim extra columns)
 
     @property
     def pool_dim(self) -> int:
-        return pool_dim(self.vec_dim)
+        return pool_dim(self.vec_dim) + (0 if self.weighted_first
+                                         else 6 * self.vec_dim)
 
     @staticmethod
     def from_config(cfg) -> "MapperConfig":
@@ -69,6 +74,7 @@ class MapperConfig:
         return MapperConfig(
             vec_dim=encoded_dim(cfg.pos_input_dim, cfg.pos_encoding_band,
                                 cfg.use_gaussian_pe),
+            weighted_first=cfg.weighted_first,
             pool_capacity=int(cfg.pool_capacity),
             new_idx_capacity=min(int(cfg.pool_capacity), 1 << 17),
             bs=cfg.bs,
@@ -133,6 +139,13 @@ def p_vec(vec_dim: int = 3) -> slice:
     return slice(P_VEC0, P_VEC0 + vec_dim)
 
 
+def p_nbr_vec(vec_dim: int = 3, k: int = 6) -> slice:
+    """Per-neighbor (encoded) offset-vector columns — present only in the
+    weighted_first=False layout (per-neighbor decoding needs each neighbor's
+    own geometric input, ref model/neural_points.py:660-665)."""
+    return slice(P_VEC0 + vec_dim, P_VEC0 + vec_dim + k * vec_dim)
+
+
 class PoolState(NamedTuple):
     """Replay data pool (ref utils/mapper.py:71-78), fixed capacity P."""
 
@@ -190,7 +203,7 @@ exact_k_min = npts.exact_k_min   # canonical home: models/neural_points.py
 
 def idw_blend(points: jax.Array, nbr_pos: jax.Array, valid: jax.Array,
               quat: Optional[jax.Array] = None, pos_encode=None,
-              idw_eps: float = 1e-15):
+              idw_eps: float = 1e-15, return_per_neighbor: bool = False):
     """Normalized IDW weights + weight-blended (encoded) offset vector at
     fixed neighbor positions — the pure-geometry half of the reference's
     ``query_feature`` (model/neural_points.py:574-632), shared by the
@@ -215,6 +228,8 @@ def idw_blend(points: jax.Array, nbr_pos: jax.Array, valid: jax.Array,
     enc = pos_encode(vec) if pos_encode is not None else vec
     vec_blend = jnp.einsum("...k,...kp->...p", w, enc,
                            precision=jax.lax.Precision.HIGHEST)
+    if return_per_neighbor:
+        return w, vec_blend, enc
     return w, vec_blend
 
 
@@ -265,7 +280,8 @@ def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k):
 def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
                ray_sample_count: int, near_count: int,
                behind_count: int = 0, far_offsets: Optional[jax.Array] = None,
-               quats: Optional[jax.Array] = None, pos_encode=None):
+               quats: Optional[jax.Array] = None, pos_encode=None,
+               per_neighbor_vecs: bool = False):
     """kNN + cached geometry of one frame's samples at append time, with the
     probe SHARED along each ray (see the pool-row layout note): the first
     ``near_count`` samples of a ray (endpoint + Gaussian surface + behind —
@@ -353,6 +369,12 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
     valid = valid.reshape(-1, k)
     quat = (quats[jnp.where(gidx >= 0, jnp.minimum(gidx, mc.capacity),
                             mc.capacity)] if quats is not None else None)
+    if per_neighbor_vecs:
+        # weighted_first=False layout: each neighbor's own (encoded) offset
+        # vector is cached too (the per-neighbor decoder input)
+        w, vec_blend, enc = idw_blend(coords, pos, valid, quat, pos_encode,
+                                      mc.idw_eps, return_per_neighbor=True)
+        return gidx, w, vec_blend, enc
     w, vec_blend = idw_blend(coords, pos, valid, quat, pos_encode, mc.idw_eps)
     return gidx, w, vec_blend
 
@@ -366,7 +388,8 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
                 color_label: Optional[jax.Array] = None,
                 knn_gidx: Optional[jax.Array] = None,
                 knn_w: Optional[jax.Array] = None,
-                knn_vec: Optional[jax.Array] = None) -> PoolState:
+                knn_vec: Optional[jax.Array] = None,
+                knn_nbr_vec: Optional[jax.Array] = None) -> PoolState:
     """Ring-buffer append of one frame's samples (ref utils/mapper.py:185-199).
 
     TPU-first: the frame's rows are PACKED first (one wide build), then
@@ -409,6 +432,10 @@ def pool_append(pool: PoolState, mcfg: MapperConfig, coord_world: jax.Array,
         built = built.at[:, 15:15 + kk].set(knn_w)
     if knn_vec is not None:
         built = built.at[:, P_VEC0:P_VEC0 + knn_vec.shape[1]].set(knn_vec)
+    if knn_nbr_vec is not None:
+        # (n, k, vec_dim) per-neighbor encoded offsets -> flat tail columns
+        nv = knn_nbr_vec.reshape(n, -1)
+        built = built.at[:, mcfg.pool_dim - nv.shape[1]:].set(nv)
 
     perm = jnp.nonzero(valid, size=n, fill_value=n)[0].astype(jnp.int32)
     n_valid = jnp.sum(valid, dtype=jnp.int32)
@@ -495,9 +522,14 @@ def pool_refresh_cache(pool: PoolState, state_attr_rows: jax.Array,
     coord = pool.rows[:, P_COORD]
     d = nbr_pos - coord[:, None, :]
     valid = (gidx >= 0) & (jnp.sum(d * d, axis=-1) <= mc.max_valid_dist2)
-    w, vec_blend = idw_blend(coord, nbr_pos, valid, quat, pos_encode, mc.idw_eps)
+    w, vec_blend, enc = idw_blend(coord, nbr_pos, valid, quat, pos_encode,
+                                  mc.idw_eps, return_per_neighbor=True)
     new_rows = pool.rows.at[:, P_W].set(w)
-    new_rows = new_rows.at[:, P_VEC0:P_VEC0 + vec_blend.shape[-1]].set(vec_blend)
+    vd = vec_blend.shape[-1]
+    new_rows = new_rows.at[:, P_VEC0:P_VEC0 + vd].set(vec_blend)
+    if pool.rows.shape[1] > P_VEC0 + vd:   # per-neighbor layout present
+        new_rows = new_rows.at[:, P_VEC0 + vd:].set(
+            enc.reshape(enc.shape[0], -1))
     return pool._replace(rows=new_rows)
 
 
@@ -1036,7 +1068,11 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     # travel filter); the remaining weights keep their append-time
     # normalization, consistent with the cached blended offset vector.
     w = jnp.where(valid_k, rows[:, P_W], 0.0)             # (T*B, k)
-    vec_blend = rows[:, P_VEC0:]
+    VD = mcfg.vec_dim
+    vec_blend = rows[:, P_VEC0:P_VEC0 + VD]
+    wf_first = mcfg.weighted_first
+    nbr_vec = (None if wf_first
+               else rows[:, P_VEC0 + VD:].reshape(-1, k, VD))  # (T*B,k,VD)
 
     sem_lab = pool.sem_label[idx_all] if (mcfg.semantic_on and params.sem is not None) else None
     col_lab = pool.color_label[flat_idx].reshape(T, B, -1) \
@@ -1056,23 +1092,28 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
         pose_b = lm.attr_rows[sg_b]                       # (T,n,k,16) small gather
         nbr_b = pose_b[..., :3]
         quat_b = pose_b[..., 3:7] if after_pgo else None
-        w_st, vecb_st = idw_blend(
+        w_st, vecb_st, enc_st = idw_blend(
             stencil,
             jnp.broadcast_to(nbr_b[:, None], (T, 6, n_grad, k, 3)),
             jnp.broadcast_to(valid_b[:, None], (T, 6, n_grad, k)),
             jnp.broadcast_to(quat_b[:, None], (T, 6, n_grad, k, 4))
             if after_pgo else None,
-            pos_encode, mc.idw_eps)
+            pos_encode, mc.idw_eps, return_per_neighbor=True)
         vecb_st = vecb_st.reshape(T, 6 * n_grad, -1)
+        nvec_st = enc_st.reshape(T, 6 * n_grad, k, VD)
     else:
         w_st = jnp.zeros((T, 0, 0, k), jnp.float32)
-        vecb_st = jnp.zeros((T, 0, vec_blend.shape[-1]), jnp.float32)
+        vecb_st = jnp.zeros((T, 0, VD), jnp.float32)
+        nvec_st = jnp.zeros((T, 0, k, VD), jnp.float32)
 
     xs = dict(
         safe_g=safe_g.reshape(T, B, k),
         w=jnp.where(valid_k, w, 0.0).reshape(T, B, k),
         vec_blend=vec_blend.reshape(T, B, -1), label=labels, weight=weights,
         in_pool=in_pool, w_st=w_st, vecb_st=vecb_st)
+    if not wf_first:
+        xs["nbr_vec"] = nbr_vec.reshape(T, B, k, VD)
+        xs["nvec_st"] = nvec_st
     if sem_lab is not None:
         xs["sem_lab"] = sem_lab
     if col_lab is not None:
@@ -1086,7 +1127,15 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
             geo_feat = jnp.concatenate(
                 [jnp.einsum("bk,bkf->bf", x["w"], feats[..., :F]),
                  x["vec_blend"]], -1)
-            sdf_pred = dec.sdf(p.geo, geo_feat, mcfg.sdf_scale)
+            if wf_first:
+                sdf_pred = dec.sdf(p.geo, geo_feat, mcfg.sdf_scale)
+            else:
+                # per-neighbor decode + IDW blend of the k PREDICTIONS
+                # (ref model/neural_points.py:660-665, utils/config.py:89);
+                # each neighbor's input is its own feature + offset vector
+                per_in = jnp.concatenate([feats[..., :F], x["nbr_vec"]], -1)
+                sdf_k = dec.sdf(p.geo, per_in, mcfg.sdf_scale)       # (B,k)
+                sdf_pred = jnp.sum(sdf_k * x["w"], axis=-1)
             loss = losses.sdf_bce_loss(sdf_pred, x["label"], mcfg.sigma_sigmoid,
                                        x["weight"], mcfg.loss_weight_on,
                                        valid=x["in_pool"])
@@ -1094,10 +1143,23 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
             cert_term = jnp.sum(x["w"] * feats[..., F])
             if eik:
                 f_base = feats[:n_grad]
-                st_feat = jnp.einsum("jnk,nkf->jnf", x["w_st"], f_base[..., :F])
-                geo_st = jnp.concatenate(
-                    [st_feat.reshape(6 * n_grad, -1), x["vecb_st"]], -1)
-                sdf_st = dec.sdf(p.geo, geo_st, mcfg.sdf_scale).reshape(6, n_grad)
+                if wf_first:
+                    st_feat = jnp.einsum("jnk,nkf->jnf", x["w_st"],
+                                         f_base[..., :F])
+                    geo_st = jnp.concatenate(
+                        [st_feat.reshape(6 * n_grad, -1), x["vecb_st"]], -1)
+                    sdf_st = dec.sdf(p.geo, geo_st,
+                                     mcfg.sdf_scale).reshape(6, n_grad)
+                else:
+                    st_in = jnp.concatenate(
+                        [jnp.broadcast_to(f_base[None, :, :, :F],
+                                          (6,) + f_base[..., :F].shape
+                                          ).reshape(6 * n_grad, k, F),
+                         x["nvec_st"]], -1)
+                    sdf_st_k = dec.sdf(p.geo, st_in, mcfg.sdf_scale)
+                    sdf_st = jnp.sum(
+                        sdf_st_k * x["w_st"].reshape(6 * n_grad, k),
+                        axis=-1).reshape(6, n_grad)
                 g = jnp.stack([sdf_st[0] - sdf_st[3], sdf_st[1] - sdf_st[4],
                                sdf_st[2] - sdf_st[5]], -1) / (2.0 * mcfg.num_grad_step)
                 loss = loss + mcfg.weight_e * losses.eikonal_loss(

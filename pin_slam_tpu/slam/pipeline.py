@@ -336,16 +336,20 @@ class SlamSystem:
             # (append_knn behind_count) measured ~0 speedup on the v5e but
             # +0.05 m square-loop drift (behind samples then train the surface
             # features with deep-inside labels) — accuracy wins
-            knn_g, knn_w, knn_vec = mp.append_knn(
+            out = mp.append_knn(
                 lm, mc, offsets, coord_world, sc.ray_sample_count,
                 near_count=1 + sc.surface_sample_n,
                 far_offsets=self.far_offsets,
                 quats=(state.attr_rows[:, npts.C_QUAT] if after_pgo else None),
-                pos_encode=pos_encode_fn)
+                pos_encode=pos_encode_fn,
+                per_neighbor_vecs=not mcfg.weighted_first)
+            knn_g, knn_w, knn_vec = out[:3]
+            knn_nvec = out[3] if len(out) == 4 else None
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
                                   batch.sdf_label, batch.weight, batch.valid,
                                   frame_id, new_mask, batch.sem_label,
-                                  batch.color_label, knn_g, knn_w, knn_vec)
+                                  batch.color_label, knn_g, knn_w, knn_vec,
+                                  knn_nbr_vec=knn_nvec)
             return state, lm, pool
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 5), static_argnums=(17,))
