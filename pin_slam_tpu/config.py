@@ -452,7 +452,12 @@ class Config:
         "tpu": {k: k for k in (
             "map_capacity", "local_map_capacity", "frame_bucket", "source_bucket",
             "insert_bucket", "downsample_hash_size", "mesh_query_bucket",
-            "mesh_shape", "buffer_size", "dp_devices")},
+            "mesh_shape", "buffer_size", "dp_devices",
+            "far_num_nei_cells", "far_search_alpha")},
+        # ROS node knobs (ref utils/config.py:321-324; the reference reads
+        # them as code defaults too, but make them YAML-settable here)
+        "ros": {k: k for k in (
+            "publish_np_map", "republish_raw_input", "timeout_duration_s")},
     }
 
     def load(self, config_file: str) -> "Config":
