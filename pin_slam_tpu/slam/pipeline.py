@@ -595,10 +595,12 @@ class SlamSystem:
 
         # stop frames (robot stationary => no new observations): skip the map/
         # pool update entirely and train fewer iterations on the existing pool
-        # (ref pin_slam.py:234-246).  On the fast path stop_status is one frame
-        # delayed (the fetch that updates it overlaps training); with PGO on
-        # (conservative ordering) it is current, like the reference.
-        stop_frame = tracked and self.dataset.stop_status
+        # (ref pin_slam.py:234-246) — applies to GT-driven (track_on=False)
+        # runs too, like the reference's dataset.stop_status gate.  On the
+        # fast path stop_status is one frame delayed (the fetch that updates
+        # it overlaps training); with PGO on (conservative ordering) it is
+        # current, like the reference.
+        stop_frame = self.frame_id > 0 and self.dataset.stop_status
         if stop_frame:
             n_it = (max(1, cfg.iters - 10) if cfg.adaptive_mode
                     else int(cfg.iters))
