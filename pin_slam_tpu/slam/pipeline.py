@@ -322,16 +322,20 @@ class SlamSystem:
                 insert_bucket=min(cfg.frame_bucket, cw_surf.shape[0]))
             lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
 
-            # new-region flags need certainty only for near-surface samples
-            # (|label| < 3 x surface range); the free-space tail can almost
-            # never pass that gate (only front samples within [2,3) sigma of
-            # the surface, a few % — accepted miss), so the certainty probe
-            # runs on the surface block alone, reusing the insert's slices
-            new_surf = mp.compute_new_sample_mask(lm, mc, mcfg, cw_surf,
-                                                  lbl_surf, vld_surf)
-            new_mask = jnp.zeros((coord_world.shape[0] // Sn, Sn), bool)
-            new_mask = new_mask.at[:, :n_surf_tot].set(
-                new_surf.reshape(-1, n_surf_tot)).reshape(-1)
+            # new-region flags are restricted to the near-surface sample
+            # block (the r3 drift fix: behind-surface boost bias), but the
+            # certainty probe deliberately runs over the FULL sample batch
+            # and the restriction is applied as a column gate.  Probing only
+            # the sliced 131k-row surface block looks cheaper yet makes the
+            # fused frame program ~13 ms/frame SLOWER on v5e (measured r4:
+            # 165 -> 151 ms/frame; an XLA scheduling/fusion cascade from the
+            # sliced operand) — the 98k extra certainty rows are far cheaper
+            # than the schedule damage.  Flag semantics are row-wise
+            # identical either way.
+            new_full = mp.compute_new_sample_mask(
+                lm, mc, mcfg, coord_world, batch.sdf_label, batch.valid)
+            col = jnp.arange(Sn) < n_surf_tot
+            new_mask = (new_full.reshape(-1, Sn) & col[None, :]).reshape(-1)
             # behind samples keep their own probes: sharing the endpoint ball
             # (append_knn behind_count) measured ~0 speedup on the v5e but
             # +0.05 m square-loop drift (behind samples then train the surface
