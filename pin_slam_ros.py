@@ -64,6 +64,7 @@ class StreamingSlam:
         pad_pts, valid = pad_to(xyz, cfg.frame_bucket)
         pad_col = pad_to(colors, cfg.frame_bucket)[0] if colors is not None else None
         frame = Frame(pad_pts, valid, pad_col, None, None, xyz.shape[0])
+        self.last_mapping_cloud = xyz        # cropped sensor-frame mapping cloud
         self.system.process_frame(frame)
         return self.system.cur_pose.copy()
 
@@ -254,6 +255,12 @@ class PinSlamRosNode:
         if cfg.publish_np_map:
             self.map_pub.publish(self._xyz_cloud(self.global_frame_name,
                                                  slam.neural_point_cloud()))
+        # current mapping cloud in the sensor frame (ref pin_slam_ros.py
+        # publishes the downsampled mapping frame on ~frame/mapping)
+        mc = getattr(slam, "last_mapping_cloud", None)
+        if mc is not None:
+            self.frame_map_pub.publish(self._xyz_cloud(self.sensor_frame_name,
+                                                       mc))
         # current registration source cloud in the sensor frame
         if slam.system.last_source is not None:
             src, src_valid = slam.system.last_source[0], slam.system.last_source[1]

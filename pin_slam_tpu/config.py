@@ -312,6 +312,10 @@ class Config:
         # >1 requires that many visible JAX devices — batch sharded over a
         # jax.sharding.Mesh, map/decoder replicated, grad psum over ICI)
         self.dp_devices: int = 1
+        # Pallas fused training-iteration kernels (ops/train_kernel.py):
+        # "auto" = on when running on TPU and the config is covered
+        # (geo-only heads, 1 hidden layer); True/False force it
+        self.use_pallas_train = "auto"
         # syncing per-frame loss scalars to host costs a device round trip per
         # frame; disable for benchmarking / production runs
         self.log_loss_per_frame: bool = True
@@ -453,7 +457,7 @@ class Config:
             "map_capacity", "local_map_capacity", "frame_bucket", "source_bucket",
             "insert_bucket", "downsample_hash_size", "mesh_query_bucket",
             "mesh_shape", "buffer_size", "dp_devices",
-            "far_num_nei_cells", "far_search_alpha")},
+            "far_num_nei_cells", "far_search_alpha", "use_pallas_train")},
         # ROS node knobs (ref utils/config.py:321-324; the reference reads
         # them as code defaults too, but make them YAML-settable here)
         "ros": {k: k for k in (
@@ -503,8 +507,10 @@ class Config:
         # keep buckets sane w.r.t. the chosen ranges
         self.pool_capacity = int(self.pool_capacity)
         self.buffer_size = int(self.buffer_size)
-        if self.mapping_freq_frame != 1 and not self.silence:
+        if self.mapping_freq_frame != 1:
             # every shipped reference profile uses 1; the fused per-frame
-            # update+train program has no skip-training variant yet
+            # update+train program has no skip-training variant yet.  Printed
+            # unconditionally (one-time config notice): every shipped profile
+            # sets silence=True, which used to swallow it (ADVICE r3)
             print("[config] mapping_freq_frame != 1 is treated as 1 "
                   "(training runs every frame)")

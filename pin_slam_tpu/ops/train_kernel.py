@@ -1,0 +1,458 @@
+"""Pallas TPU kernels for the mapping loop's per-iteration MATH.
+
+The cached training scan's body (mapper.mapping_loop_cached, the production
+path; ref utils/mapper.py:425-593) lowers to ~25-30 small XLA kernels per
+iteration whose launch overhead and unfused intermediates measured ~2 ms of
+the 4.6 ms/iter on v5e.  This module fuses everything BETWEEN the feature
+gather and the gradient scatter-add into two Pallas kernels with hand-derived
+backward passes:
+
+  * ``fused_train_iter``  — IDW blend -> 1-hidden-layer MLP -> BCE-with-logits
+    loss -> backward to per-(sample,neighbor) feature-row gradients + decoder
+    gradients.  Supports both interpolation modes (``weighted_first`` True:
+    blend features then decode once; False: decode each neighbor, blend the k
+    predictions — ref model/neural_points.py:660-665, utils/config.py:89).
+  * ``fused_eikonal_iter`` — the decimated central-difference eikonal term
+    (ref utils/mapper.py:683-733): 6 stencil decodes sharing the base points'
+    neighbor sets, |grad|->1 MSE, backward to base-row feature gradients.
+
+The gather (``features[idx]``), the scatter-add of the returned row grads,
+and the fused Adam update stay in XLA: Mosaic has no scatter-add lowering,
+and XLA's gather/scatter on the cache-resident local table measured 2.1/9.3
+ns/row — already at the hardware floor (experiments/profile_pallas_gather.py).
+
+Mosaic workarounds baked into the design (each verified to crash the v5e
+remote compile when violated):
+  * everything stays 2-D — no ``[:, 0]`` squeezes of matmul results;
+  * no value-level dynamic_slice / dynamic_update_slice / scatter — row-grad
+    assembly is pure concatenation;
+  * no sublane-1 matmuls or keepdims reductions for the decoder grads —
+    instead they ride the ONES-COLUMN trick: ``G1 = [x|1]^T @ dh`` carries
+    dW1 in rows 0..in-1 and db1 in row ``in``; ``G2 = [do|pw|0..]^T @ [h|1]``
+    carries dW2^T+db2 in row 0 and the summed loss in row 1's last column.
+
+The certainty channel (feature column F) keeps the cached-loop trick: its
+"gradient" is the per-row IDW weight sum, so the same scatter delivers the
+reference's certainty accumulation (model/neural_points.py:634-652).
+
+Loss weights arrive PREMULTIPLIED (weight * in_pool / denom, and
+weight_e * in_pool / denom for the eikonal) so each kernel is tile-local —
+the batch-wide valid-count denominators are computed in XLA beforehand.
+
+Numerics note: batch reductions (decoder grads, loss) accumulate per-tile in
+a different order than XLA's lowering — bitwise equality with the XLA path is
+not expected; tests pin allclose and the e2e drift gates hold on both paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainKernelConfig:
+    B: int                 # batch rows per iteration
+    k: int                 # neighbors per row
+    F: int                 # feature dim (column F is the certainty channel)
+    VD: int                # offset-vector dim (3 without positional encoding)
+    H: int                 # decoder hidden width
+    sigma: float           # sigma_sigmoid_m
+    scale: float           # sdf_scale
+    weighted_first: bool
+    tiles: int = 16        # grid size; tile rows = B // tiles (16 keeps the
+    #                        kernel's own VMEM footprint small enough for the
+    #                        fused frame program's scoped-vmem budget)
+
+    @property
+    def TB(self) -> int:
+        return self.B // self.tiles
+
+    @property
+    def in_dim(self) -> int:
+        return self.F + self.VD
+
+
+def _mlp_fwd(x, W1, b1, W2, b2):
+    """x (N,in) -> (h (N,H), o (N,1)); strictly 2-D."""
+    h = jnp.maximum(jnp.dot(x, W1, preferred_element_type=jnp.float32) + b1,
+                    0.0)
+    o = jnp.dot(h, W2, preferred_element_type=jnp.float32) + b2
+    return h, o
+
+
+def _bce(pred, label, wt, inv_sigma):
+    """Stable BCE-with-logits on sigmoid-squashed labels (losses.sdf_bce_loss).
+    All (N,1).  Returns (per*wt (N,1), d/dpred (N,1))."""
+    z = pred * inv_sigma
+    tgt = jax.nn.sigmoid(label * inv_sigma)
+    per = jnp.maximum(z, 0.0) - z * tgt + jnp.log1p(jnp.exp(-jnp.abs(z)))
+    dpred = (jax.nn.sigmoid(z) - tgt) * wt * inv_sigma
+    return per * wt, dpred
+
+
+def _grad_mats(x, dh, do, h, pw):
+    """Ones-column packing of the decoder grads + loss.
+
+    g1 (in+1, H): rows 0..in-1 = dW1 = x^T dh, row in = db1.
+    g2 (8, H+1): row 0 = [dW2^T, db2], row 1 = [junk, sum(pw)]."""
+    N = x.shape[0]
+    ones = jnp.ones((N, 1), jnp.float32)
+    g1 = jnp.dot(jnp.concatenate([x, ones], 1).T, dh,
+                 preferred_element_type=jnp.float32)
+    P = jnp.concatenate([do, pw, jnp.zeros((N, 6), jnp.float32)], 1)
+    Q = jnp.concatenate([h, ones], 1)
+    g2 = jnp.dot(P.T, Q, preferred_element_type=jnp.float32)
+    return g1, g2
+
+
+def _train_iter_kernel(cfg: TrainKernelConfig, *refs):
+    """One batch tile: forward + loss + backward (see fused_train_iter).
+
+    The row data arrives as ONE packed (TB, P) block — cols [0, k*C) feats,
+    [k*C, k*C+k) weights, then the offset vector(s), label, premultiplied
+    loss weight.  Packing keeps XLA's scoped-VMEM staging of the call at one
+    lane-padded buffer instead of five (a (16384, 6) operand pads to the same
+    8.4 MB as a (16384, 128) one), and the dfeats output ALIASES the packed
+    input so the stage is shared — without this the fused frame program blows
+    the 16 MB scoped-vmem limit (measured: 23.08 MB requested)."""
+    (packed_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+     dfeats_ref, g1_ref, g2_ref) = refs
+
+    i = pl.program_id(0)
+    F, k, VD = cfg.F, cfg.k, cfg.VD
+    C = F + 1
+    kc = k * C
+    vd_cols = VD if cfg.weighted_first else k * VD
+    packed = packed_ref[...]
+    feats = packed[:, :kc]
+    w = packed[:, kc:kc + k]
+    vec_in = packed[:, kc + k:kc + k + vd_cols]
+    label = packed[:, kc + k + vd_cols:kc + k + vd_cols + 1]
+    wt = packed[:, kc + k + vd_cols + 1:kc + k + vd_cols + 2]
+    W1, b1, W2, b2 = W1_ref[...], b1_ref[...], W2_ref[...], b2_ref[...]
+
+    if cfg.weighted_first:
+        gf = jnp.zeros((cfg.TB, F), jnp.float32)
+        for kk in range(k):
+            gf = gf + w[:, kk:kk + 1] * feats[:, kk * C:kk * C + F]
+        x = jnp.concatenate([gf, vec_in], 1)
+        h, o = _mlp_fwd(x, W1, b1, W2, b2)
+        pw, dpred = _bce(o * cfg.scale, label, wt, 1.0 / cfg.sigma)
+        do = dpred * cfg.scale
+        dh = jnp.dot(do, W2.T, preferred_element_type=jnp.float32)
+        dh = jnp.where(h > 0.0, dh, 0.0)
+        dx = jnp.dot(dh, W1.T, preferred_element_type=jnp.float32)
+        g1, g2 = _grad_mats(x, dh, do, h, pw)
+        dgf = dx[:, :F]
+        dfe_cols = [w[:, kk:kk + 1] * dgf for kk in range(k)]
+    else:
+        nvec = vec_in
+        hs, os_, xs_ = [], [], []
+        for kk in range(k):
+            xk = jnp.concatenate(
+                [feats[:, kk * C:kk * C + F],
+                 nvec[:, kk * VD:(kk + 1) * VD]], 1)
+            hk, ok = _mlp_fwd(xk, W1, b1, W2, b2)
+            xs_.append(xk)
+            hs.append(hk)
+            os_.append(ok)
+        pred = jnp.zeros((cfg.TB, 1), jnp.float32)
+        for kk in range(k):
+            pred = pred + w[:, kk:kk + 1] * os_[kk]
+        pw, dpred = _bce(pred * cfg.scale, label, wt, 1.0 / cfg.sigma)
+        g1 = jnp.zeros((cfg.in_dim + 1, cfg.H), jnp.float32)
+        g2 = jnp.zeros((8, cfg.H + 1), jnp.float32)
+        dfe_cols = []
+        for kk in range(k):
+            do_k = dpred * cfg.scale * w[:, kk:kk + 1]
+            dh_k = jnp.dot(do_k, W2.T, preferred_element_type=jnp.float32)
+            dh_k = jnp.where(hs[kk] > 0.0, dh_k, 0.0)
+            dx_k = jnp.dot(dh_k, W1.T, preferred_element_type=jnp.float32)
+            g1k, g2k = _grad_mats(xs_[kk], dh_k, do_k, hs[kk],
+                                  pw if kk == 0 else jnp.zeros_like(pw))
+            g1, g2 = g1 + g1k, g2 + g2k
+            dfe_cols.append(dx_k[:, :F])
+
+    # assemble [dgrad_k (F cols), certainty col = w_k] per neighbor; the
+    # certainty column is d(loss + sum w*f_cert)/d f_cert = w.  The output
+    # block aliases the packed input, so pad the tail columns with zeros.
+    P = packed.shape[1]
+    dfeats_ref[...] = jnp.concatenate(
+        [jnp.concatenate([dfe_cols[kk], w[:, kk:kk + 1]], 1)
+         for kk in range(k)]
+        + [jnp.zeros((cfg.TB, P - kc), jnp.float32)], 1)
+
+    @pl.when(i == 0)
+    def _init():
+        g1_ref[...] = g1
+        g2_ref[...] = g2
+
+    @pl.when(i > 0)
+    def _acc():
+        g1_ref[...] += g1
+        g2_ref[...] += g2
+
+
+def fused_train_iter(cfg: TrainKernelConfig, feats, w, vec_or_nvec, label, wt,
+                     W1, b1, W2, b2, interpret: bool = False):
+    """One training iteration's math between gather and scatter.
+
+    feats (B, k*(F+1)) gathered rows; w (B,k) IDW weights (invalid zeroed);
+    vec_or_nvec: (B, VD) blended offset vector (weighted_first) or
+    (B, k*VD) per-neighbor vectors; label (B,); wt (B,) premultiplied
+    ``weight * in_pool / denom``.  Decoder: W1 (in,H), b1 (H,), W2 (H,1),
+    b2 scalar ().
+
+    Returns (loss (), dfeats (B, k*(F+1)), dW1, db1 (H,), dW2 (H,1),
+    db2 ())."""
+    TB = cfg.TB
+    C = cfg.F + 1
+    kc = cfg.k * C
+    vd_cols = cfg.VD if cfg.weighted_first else cfg.k * cfg.VD
+    packed = jnp.concatenate(
+        [feats, w, vec_or_nvec, label[:, None], wt[:, None]], axis=1)
+    P = packed.shape[1]
+
+    def row_spec(cols):
+        return pl.BlockSpec((TB, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(cfg.tiles,),
+        in_specs=[
+            row_spec(P),
+            full_spec((cfg.in_dim, cfg.H)), full_spec((1, cfg.H)),
+            full_spec((cfg.H, 1)), full_spec((1, 1)),
+        ],
+        out_specs=[
+            row_spec(P),
+            full_spec((cfg.in_dim + 1, cfg.H)),
+            full_spec((8, cfg.H + 1)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((cfg.B, P), jnp.float32),
+        jax.ShapeDtypeStruct((cfg.in_dim + 1, cfg.H), jnp.float32),
+        jax.ShapeDtypeStruct((8, cfg.H + 1), jnp.float32),
+    ]
+    dfeats, g1, g2 = pl.pallas_call(
+        functools.partial(_train_iter_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(packed, W1, b1[None, :], W2, jnp.full((1, 1), b2, jnp.float32))
+    return (g2[1, cfg.H], dfeats[:, :kc], g1[:cfg.in_dim], g1[cfg.in_dim],
+            g2[0, :cfg.H][:, None], g2[0, cfg.H])
+
+
+# ----------------------------------------------------------------------
+# eikonal stencil kernel
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EikKernelConfig:
+    n: int                 # decimated base rows (bs // gradient_decimation)
+    k: int
+    F: int
+    VD: int
+    H: int
+    scale: float           # sdf_scale
+    step: float            # num_grad_step (central-difference half step)
+    weighted_first: bool
+    tiles: int = 1         # grid over base rows (set by fused_eikonal_iter)
+
+    @property
+    def TN(self) -> int:
+        return self.n // self.tiles
+
+    @property
+    def in_dim(self) -> int:
+        return self.F + self.VD
+
+
+def _eik_kernel(cfg: EikKernelConfig, *refs):
+    """One base-row tile of the eikonal term.
+
+    Packed operands (same scoped-VMEM rationale as the main kernel):
+    base_ref (TN, k*C+1) = [feats | esc]; st_ref (6, TN, k+vd) = [wst | vst]
+    per stencil direction.  Tiling over base rows keeps the kernel's VMEM
+    footprint bounded (the monolithic version requested 45 MB of scoped
+    vmem from the 6 saved activation sets)."""
+    (base_ref, st_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+     dfeats_ref, g1_ref, g2_ref) = refs
+
+    i = pl.program_id(0)
+    n, F, k, VD = cfg.TN, cfg.F, cfg.k, cfg.VD
+    C = F + 1
+    kc = k * C
+    vd_cols = VD if cfg.weighted_first else k * VD
+    W1, b1, W2, b2 = W1_ref[...], b1_ref[...], W2_ref[...], b2_ref[...]
+    base = base_ref[...]
+    st3 = st_ref[...]                           # (6, TN, k+vd)
+    feats = base[:, :kc]
+    esc = base[:, kc:kc + 1]                    # (TN,1)
+
+    # forward all 6 stencil blocks (saved activations for the backward)
+    sdf_st, saved = [], []
+    for j in range(6):
+        wst_j = st3[j, :, :k]
+        if cfg.weighted_first:
+            stf = jnp.zeros((n, F), jnp.float32)
+            for kk in range(k):
+                stf = stf + wst_j[:, kk:kk + 1] * feats[:, kk * C:kk * C + F]
+            xj = jnp.concatenate([stf, st3[j, :, k:k + vd_cols]], 1)
+            hj, oj = _mlp_fwd(xj, W1, b1, W2, b2)
+            sdf_st.append(oj * cfg.scale)
+            saved.append((xj, hj))
+        else:
+            hs, os_, xs_ = [], [], []
+            nvst_j = st3[j, :, k:k + vd_cols]
+            for kk in range(k):
+                xk = jnp.concatenate(
+                    [feats[:, kk * C:kk * C + F],
+                     nvst_j[:, kk * VD:(kk + 1) * VD]], 1)
+                hk, ok = _mlp_fwd(xk, W1, b1, W2, b2)
+                xs_.append(xk)
+                hs.append(hk)
+                os_.append(ok)
+            pj = jnp.zeros((n, 1), jnp.float32)
+            for kk in range(k):
+                pj = pj + wst_j[:, kk:kk + 1] * os_[kk]
+            sdf_st.append(pj * cfg.scale)
+            saved.append((xs_, hs))
+
+    inv2e = 1.0 / (2.0 * cfg.step)
+    gx = (sdf_st[0] - sdf_st[3]) * inv2e
+    gy = (sdf_st[1] - sdf_st[4]) * inv2e
+    gz = (sdf_st[2] - sdf_st[5]) * inv2e
+    norm = jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+    pw = (norm - 1.0) ** 2 * esc                # (TN,1); summed loss rides g2
+
+    dnorm = 2.0 * (norm - 1.0) * esc / norm
+    dg = dnorm * inv2e
+    dsdf = [dg * gx, dg * gy, dg * gz, -dg * gx, -dg * gy, -dg * gz]
+
+    g1 = jnp.zeros((cfg.in_dim + 1, cfg.H), jnp.float32)
+    g2 = jnp.zeros((8, cfg.H + 1), jnp.float32)
+    dfb = [jnp.zeros((n, F), jnp.float32) for _ in range(k)]
+    for j in range(6):
+        wst_j = st3[j, :, :k]
+        pw_j = pw if j == 0 else jnp.zeros_like(pw)
+        if cfg.weighted_first:
+            do_j = dsdf[j] * cfg.scale
+            xj, hj = saved[j]
+            dh_j = jnp.dot(do_j, W2.T, preferred_element_type=jnp.float32)
+            dh_j = jnp.where(hj > 0.0, dh_j, 0.0)
+            dx_j = jnp.dot(dh_j, W1.T, preferred_element_type=jnp.float32)
+            g1j, g2j = _grad_mats(xj, dh_j, do_j, hj, pw_j)
+            g1, g2 = g1 + g1j, g2 + g2j
+            dstf = dx_j[:, :F]
+            for kk in range(k):
+                dfb[kk] = dfb[kk] + wst_j[:, kk:kk + 1] * dstf
+        else:
+            xs_, hs = saved[j]
+            for kk in range(k):
+                do_k = dsdf[j] * cfg.scale * wst_j[:, kk:kk + 1]
+                dh_k = jnp.dot(do_k, W2.T, preferred_element_type=jnp.float32)
+                dh_k = jnp.where(hs[kk] > 0.0, dh_k, 0.0)
+                dx_k = jnp.dot(dh_k, W1.T, preferred_element_type=jnp.float32)
+                g1k, g2k = _grad_mats(
+                    xs_[kk], dh_k, do_k, hs[kk],
+                    pw_j if kk == 0 else jnp.zeros_like(pw))
+                g1, g2 = g1 + g1k, g2 + g2k
+                dfb[kk] = dfb[kk] + dx_k[:, :F]
+
+    # certainty columns: the 6 stencil replicas' weight sums, pre-reduced
+    wsum = jnp.zeros((n, k), jnp.float32)
+    for j in range(6):
+        wsum = wsum + st3[j, :, :k]
+    dfeats_ref[...] = jnp.concatenate(
+        [jnp.concatenate([dfb[kk], wsum[:, kk:kk + 1]], 1)
+         for kk in range(k)]
+        + [jnp.zeros((n, 1), jnp.float32)], 1)   # aliased tail col (esc slot)
+
+    @pl.when(i == 0)
+    def _init():
+        g1_ref[...] = g1
+        g2_ref[...] = g2
+
+    @pl.when(i > 0)
+    def _acc():
+        g1_ref[...] += g1
+        g2_ref[...] += g2
+
+
+def fused_eikonal_iter(cfg: EikKernelConfig, feats, wst, vst_or_nvst, esc,
+                       W1, b1, W2, b2, interpret: bool = False):
+    """feats (n, k*(F+1)) base rows (shared neighbor sets); wst (6n, k)
+    stencil IDW weights; vst (6n, VD) blended stencil vectors (weighted_first)
+    or nvst (6n, k*VD) per-neighbor; esc (n,) premultiplied
+    ``weight_e * in_pool / denom``.
+
+    Returns (loss (), dfeats (n, k*(F+1)) incl. certainty column, dW1,
+    db1 (H,), dW2 (H,1), db2 ())."""
+    n = cfg.n
+    # Mosaic requires block sublane counts divisible by 8: pad the base rows
+    # to a multiple of 8*tiles (padded rows carry esc = 0 and wst = 0, so
+    # they contribute nothing to loss, grads, or certainty)
+    tiles = 4
+    n_pad = -(-n // (8 * tiles)) * (8 * tiles)
+    cfg = dataclasses.replace(cfg, n=n_pad, tiles=tiles)
+    TN = cfg.TN
+    C = cfg.F + 1
+    kc = cfg.k * C
+    sd = wst.shape[1] + vst_or_nvst.shape[1]
+    base = jnp.concatenate([feats, esc[:, None]], axis=1)
+    st = jnp.concatenate([wst, vst_or_nvst], axis=1).reshape(6, n, sd)
+    if n_pad != n:
+        base = jnp.concatenate(
+            [base, jnp.zeros((n_pad - n, base.shape[1]), jnp.float32)], 0)
+        st = jnp.concatenate(
+            [st, jnp.zeros((6, n_pad - n, sd), jnp.float32)], 1)
+    n = n_pad
+
+    def full_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((TN, kc + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, TN, sd), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            full_spec((cfg.in_dim, cfg.H)), full_spec((1, cfg.H)),
+            full_spec((cfg.H, 1)), full_spec((1, 1)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TN, kc + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full_spec((cfg.in_dim + 1, cfg.H)),
+            full_spec((8, cfg.H + 1)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n, kc + 1), jnp.float32),
+        jax.ShapeDtypeStruct((cfg.in_dim + 1, cfg.H), jnp.float32),
+        jax.ShapeDtypeStruct((8, cfg.H + 1), jnp.float32),
+    ]
+    dfeats, g1, g2 = pl.pallas_call(
+        functools.partial(_eik_kernel, cfg),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(base, st, W1, b1[None, :], W2, jnp.full((1, 1), b2, jnp.float32))
+    return (g2[1, cfg.H], dfeats[:feats.shape[0], :kc], g1[:cfg.in_dim],
+            g1[cfg.in_dim], g2[0, :cfg.H][:, None], g2[0, cfg.H])

@@ -981,15 +981,31 @@ def _mapping_loop_fast(lm: npts.LocalMap, mc: npts.MapConfig,
     return lm_out, params, opt_state, loss_hist
 
 
+def kernel_path_supported(mc: npts.MapConfig, mcfg: MapperConfig,
+                          geo: dec.DecoderParams) -> bool:
+    """Whether the Pallas fused-iteration kernels cover this configuration
+    (ops/train_kernel.py): geo-only heads, single hidden layer with bias,
+    no feature layer-norm, tile-divisible batch."""
+    return (not mcfg.semantic_on and not mcfg.color_on
+            and not mc.layer_norm_on
+            and len(geo.hidden) == 1
+            and geo.hidden[0][1] is not None and geo.out[1] is not None
+            and mcfg.bs % 128 == 0   # 16 tiles x 8-sublane blocks
+            and (mcfg.bs // mcfg.gradient_decimation > 0
+                 or not mcfg.ekional_loss_on))
+
+
 @partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters", "after_pgo",
-                                   "pos_encode", "axis_name", "unroll"))
+                                   "pos_encode", "axis_name", "unroll",
+                                   "use_kernel"))
 def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
                         params: TrainableParams, opt_state: AdamState,
                         pool: PoolState,
                         mcfg: MapperConfig, key: jax.Array,
                         decoder_lr_scale: jax.Array, use_new: jax.Array,
                         num_iters: int, after_pgo: bool = False,
-                        pos_encode=None, axis_name=None, unroll: int = 1):
+                        pos_encode=None, axis_name=None, unroll: int = 1,
+                        use_kernel: bool = False):
     """The per-frame training loop with POOL-CACHED kNN — the TPU-native
     production path (ref utils/mapper.py:425-593 ``mapping``).
 
@@ -1119,6 +1135,68 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     if col_lab is not None:
         xs["col_lab"] = col_lab
 
+    if use_kernel:
+        # ---- Pallas fused-iteration path (ops/train_kernel.py): the scan
+        # body becomes gather -> kernel -> scatter-add -> fused Adam.  The
+        # batch-wide masked-mean denominators are folded into premultiplied
+        # per-row weights here so the kernels stay tile-local. ----
+        from pin_slam_tpu.ops import train_kernel as tkn
+
+        W1_, b1_ = params.geo.hidden[0]
+        Hdim = W1_.shape[1]
+        kcfg = tkn.TrainKernelConfig(
+            B=B, k=k, F=F, VD=VD, H=Hdim, sigma=mcfg.sigma_sigmoid,
+            scale=mcfg.sdf_scale, weighted_first=wf_first)
+        ecfg = tkn.EikKernelConfig(
+            n=n_grad, k=k, F=F, VD=VD, H=Hdim, scale=mcfg.sdf_scale,
+            step=mcfg.num_grad_step, weighted_first=wf_first) if eik else None
+        interp = jax.default_backend() == "cpu"
+
+        inp_f = in_pool.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(inp_f, axis=1), 1.0)
+        wt_base = weights if mcfg.loss_weight_on else jnp.ones_like(weights)
+        xs["wt_eff"] = wt_base * inp_f / denom[:, None]
+        if eik:
+            inp_e = inp_f[:, :n_grad]
+            denom_e = jnp.maximum(jnp.sum(inp_e, axis=1), 1.0)
+            xs["esc"] = mcfg.weight_e * inp_e / denom_e[:, None]
+            xs["wst2"] = xs.pop("w_st").reshape(T, 6 * n_grad, k)
+            if not wf_first:
+                xs["nvst2"] = xs.pop("nvec_st").reshape(T, 6 * n_grad, k * VD)
+    else:
+        kcfg = ecfg = interp = None
+
+    def kernel_iter(params_c, x):
+        """One iteration via the fused kernels; returns (loss, grads)."""
+        from pin_slam_tpu.ops import train_kernel as tkn
+
+        geo = params_c.geo
+        W1c, b1c = geo.hidden[0]
+        W2c, b2c = geo.out
+        feats2 = params_c.features[x["safe_g"]].reshape(B, k * (F + 1))
+        vin = (x["vec_blend"] if wf_first
+               else x["nbr_vec"].reshape(B, k * VD))
+        loss, dfe, dW1, db1, dW2, db2 = tkn.fused_train_iter(
+            kcfg, feats2, x["w"], vin, x["label"], x["wt_eff"],
+            W1c, b1c, W2c, b2c[0], interpret=interp)
+        gfeat = jnp.zeros_like(params_c.features).at[
+            x["safe_g"].reshape(-1)].add(dfe.reshape(B * k, F + 1))
+        if eik:
+            vst = (x["vecb_st"] if wf_first else x["nvst2"])
+            el, dfe_e, dW1e, db1e, dW2e, db2e = tkn.fused_eikonal_iter(
+                ecfg, feats2[:n_grad], x["wst2"], vst, x["esc"],
+                W1c, b1c, W2c, b2c[0], interpret=interp)
+            loss = loss + el
+            dW1, db1, dW2, db2 = (dW1 + dW1e, db1 + db1e,
+                                  dW2 + dW2e, db2 + db2e)
+            gfeat = gfeat.at[x["safe_g"][:n_grad].reshape(-1)].add(
+                dfe_e.reshape(n_grad * k, F + 1))
+        grads = params_c._replace(
+            features=gfeat,
+            geo=dec.DecoderParams(hidden=((dW1, db1),), out=(dW2, db2[None])),
+            color_features=None, sem=None, color=None)
+        return loss, grads
+
     def one_iter(carry, x):
         params_c, opt_c, cert_acc = carry
 
@@ -1167,22 +1245,40 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
                 cert_term = cert_term + jnp.einsum(
                     "jnk,nk->", x["w_st"], f_base[..., F])
             if "sem_lab" in x and p.sem is not None:
-                sem_logp = dec.sem_label_prob(p.sem, geo_feat)
+                if wf_first:
+                    sem_logp = dec.sem_label_prob(p.sem, geo_feat)
+                else:
+                    # per-neighbor decode + weighted blend of the LOG-probs,
+                    # matching the reference's weighted_first=False head
+                    # (ref utils/mapper.py:470-473; ADVICE r3 #1)
+                    sem_k = dec.sem_label_prob(p.sem, per_in)        # (B,k,S)
+                    sem_logp = jnp.einsum("bk,bks->bs", x["w"], sem_k)
                 sem_valid = x["in_pool"] & (x["sem_lab"] > 0)
                 loss = loss + mcfg.weight_s * losses.sem_nll_loss(
                     sem_logp, x["sem_lab"], valid=sem_valid)
             if "col_lab" in x and p.color is not None:
                 cfeats = p.color_features[x["safe_g"]]
-                color_feat = jnp.concatenate(
-                    [jnp.einsum("bk,bkf->bf", x["w"], cfeats), x["vec_blend"]], -1)
-                color_pred = dec.regress_color(p.color, color_feat)
+                if wf_first:
+                    color_feat = jnp.concatenate(
+                        [jnp.einsum("bk,bkf->bf", x["w"], cfeats),
+                         x["vec_blend"]], -1)
+                    color_pred = dec.regress_color(p.color, color_feat)
+                else:
+                    # per-neighbor color decode + prediction blend
+                    # (ref utils/mapper.py:474-477; ADVICE r3 #1)
+                    cin = jnp.concatenate([cfeats, x["nbr_vec"]], -1)
+                    color_k = dec.regress_color(p.color, cin)        # (B,k,C)
+                    color_pred = jnp.einsum("bk,bkc->bc", x["w"], color_k)
                 surf = x["in_pool"] & (jnp.abs(x["label"]) < mcfg.surface_sample_range)
                 loss = loss + mcfg.weight_i * losses.color_diff_loss(
                     color_pred, x["col_lab"], x["weight"], mcfg.loss_weight_on,
                     valid=surf)
             return loss + cert_term, loss
 
-        (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_c)
+        if use_kernel:
+            loss, grads = kernel_iter(params_c, x)
+        else:
+            (_, loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_c)
         if axis_name is not None:
             # DP all-reduce over ICI: identical replicated updates everywhere
             grads = jax.lax.pmean(grads, axis_name)

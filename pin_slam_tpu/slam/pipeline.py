@@ -94,6 +94,20 @@ class SlamSystem:
                                               max(config.color_channel, 1), config.mlp_bias_on)
                              if config.color_on else None)
 
+        # Pallas fused training-iteration kernels: on for TPU when the
+        # configuration is covered (see mapper.kernel_path_supported); the
+        # CPU test suite keeps the XLA path (kernel parity is separately
+        # pinned by tests/test_train_kernel.py in interpret mode)
+        want = config.use_pallas_train
+        supported = mp.kernel_path_supported(self.mc, self.mcfg,
+                                             self.geo_params)
+        if want is True or want == "true":
+            self._use_kernel = supported
+        elif want is False or want == "false":
+            self._use_kernel = False
+        else:
+            self._use_kernel = supported and jax.default_backend() == "tpu"
+
         self.state = npts.init_map_state(self.mc)
         self.lm = npts.init_local_map(self.mc)
         self.pool = mp.init_pool(self.mcfg, color_channel=max(config.color_channel, 1))
@@ -207,7 +221,8 @@ class SlamSystem:
                 mp.mapping_loop_cached(lm, mc, params, opt, pool, mcfg, key,
                                        scale, use_new, num_iters=num_iters,
                                        after_pgo=after_pgo,
-                                       pos_encode=pos_encode_fn)
+                                       pos_encode=pos_encode_fn,
+                                       use_kernel=self._use_kernel)
 
         def source_prep(points, valid, colors):
             """Coarse voxel downsample of the registration source cloud
@@ -492,6 +507,14 @@ class SlamSystem:
         detect_due = (self.pgm is not None and self.frame_id > 0
                       and self.frame_id % max(cfg.pgo_freq, 1) == 0)
         conservative = detect_due or ba_due or not tracked
+        # while the (one-frame-stale) stop flag says "stationary", take the
+        # conservative ordering: the fetch below refreshes stop_status from
+        # the CURRENT frame's translation before the stop program is chosen,
+        # so a frame where motion resumes is never routed to _stop_train and
+        # silently dropped from map and pool (ADVICE r3 #2).  Stationary
+        # phases are not throughput-critical, so the lost overlap is free.
+        if self.frame_id > 0 and self.dataset.stop_status:
+            conservative = True
 
         # ---------------- II: odometry ----------------
         t1 = time.perf_counter()
@@ -600,10 +623,13 @@ class SlamSystem:
         # stop frames (robot stationary => no new observations): skip the map/
         # pool update entirely and train fewer iterations on the existing pool
         # (ref pin_slam.py:234-246) — applies to GT-driven (track_on=False)
-        # runs too, like the reference's dataset.stop_status gate.  On the
-        # fast path stop_status is one frame delayed (the fetch that updates
-        # it overlaps training); with PGO on (conservative ordering) it is
-        # current, like the reference.
+        # runs too, like the reference's dataset.stop_status gate.  Entering
+        # a stop can lag one frame behind the reference (the fast path's
+        # fetch overlaps training), which only costs one redundant full
+        # update; LEAVING a stop is always decided on the current frame's
+        # translation (stop frames force the conservative ordering above,
+        # whose fetch refreshes stop_status first), so resuming-motion
+        # frames always reach the full update program (ADVICE r3 #2).
         stop_frame = self.frame_id > 0 and self.dataset.stop_status
         if stop_frame:
             n_it = (max(1, cfg.iters - 10) if cfg.adaptive_mode

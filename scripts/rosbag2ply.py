@@ -131,12 +131,23 @@ def _decode_pointcloud2(buf: bytes):
         foffset, fdtype, fcount = struct.unpack_from("<IBI", buf, off)
         off += 9
         fields.append((name, foffset, fdtype, fcount))
-    off += 1                                      # is_bigendian
-    (point_step,) = struct.unpack_from("<I", buf, off)
-    off += 4 + 4                                  # + row_step
+    (is_bigendian,) = struct.unpack_from("<B", buf, off)
+    off += 1
+    if is_bigendian:
+        raise RuntimeError(
+            "big-endian PointCloud2 messages are not supported")
+    point_step, row_step = struct.unpack_from("<II", buf, off)
+    off += 8
     (dlen,) = struct.unpack_from("<I", buf, off)
     off += 4
-    raw = np.frombuffer(buf, np.uint8, dlen, off).reshape(-1, point_step)
+    raw = np.frombuffer(buf, np.uint8, dlen, off)
+    if row_step != width * point_step and height >= 1 and row_step > 0:
+        # rows may carry legal padding past width*point_step: slice the
+        # dense payload of each row (ADVICE r3)
+        rows = raw[: height * row_step].reshape(height, row_step)
+        raw = rows[:, : width * point_step].reshape(-1, point_step)
+    else:
+        raw = raw.reshape(-1, point_step)
 
     def column(name):
         for fname, foff, fdt, _ in fields:
