@@ -95,19 +95,20 @@ def main():
     key = jax.random.PRNGKey(0)
     one = jnp.ones((), bool)
 
-    def loop(T):
+    def loop(T, uk):
         f = lambda: mp.mapping_loop_cached(
             lm, mc, params, opt, pool, mcfg, key, jnp.float32(1.0), one,
-            num_iters=T)
+            num_iters=T, use_kernel=uk)
         return f
 
-    tA = fetch_ms(loop(15))
-    tB = fetch_ms(loop(45))
-    per = (tB - tA) / 30.0
-    fixed = tA - 15 * per
-    print(f"mapping_loop_cached: per-iter {per:6.2f} ms; "
-          f"fixed (pre/post + RTT) {fixed:6.1f} ms; T=15 total {tA:6.1f}",
-          flush=True)
+    for uk in (False, True):
+        tA = fetch_ms(loop(15, uk))
+        tB = fetch_ms(loop(45, uk))
+        per = (tB - tA) / 30.0
+        fixed = tA - 15 * per
+        print(f"mapping_loop_cached[kernel={uk}]: per-iter {per:6.2f} ms; "
+              f"fixed (pre/post + RTT) {fixed:6.1f} ms; T=15 total {tA:6.1f}",
+              flush=True)
 
     # append_knn slope via R-chain
     def ak_chain(R):

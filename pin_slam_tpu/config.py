@@ -316,6 +316,15 @@ class Config:
         # "auto" = on when running on TPU and the config is covered
         # (geo-only heads, 1 hidden layer); True/False force it
         self.use_pallas_train = "auto"
+        # training-scan unroll: 0 = auto (5 on the Pallas path, where the
+        # per-iteration math is order-fixed inside the kernels and unrolling
+        # only removes XLA loop machinery; 1 on the autodiff path, where
+        # cross-iteration refusion reassociates f32 math enough to move
+        # drift — PERF.md r3 ledger)
+        self.train_unroll: int = 0
+        # Pallas candidate-ranking kernel for the append-time kNN
+        # (ops/rank_kernel.py); "auto" = on when running on TPU
+        self.use_pallas_rank = "auto"
         # syncing per-frame loss scalars to host costs a device round trip per
         # frame; disable for benchmarking / production runs
         self.log_loss_per_frame: bool = True
@@ -457,7 +466,8 @@ class Config:
             "map_capacity", "local_map_capacity", "frame_bucket", "source_bucket",
             "insert_bucket", "downsample_hash_size", "mesh_query_bucket",
             "mesh_shape", "buffer_size", "dp_devices",
-            "far_num_nei_cells", "far_search_alpha", "use_pallas_train")},
+            "far_num_nei_cells", "far_search_alpha", "use_pallas_train",
+            "train_unroll", "use_pallas_rank")},
         # ROS node knobs (ref utils/config.py:321-324; the reference reads
         # them as code defaults too, but make them YAML-settable here)
         "ros": {k: k for k in (

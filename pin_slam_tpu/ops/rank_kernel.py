@@ -1,0 +1,160 @@
+"""Pallas TPU kernel for the append-time kNN candidate RANKING.
+
+``mapper._probe_rank`` ranks each sample's hash-probed candidate ball (K=33
+rows) by exact distance, keeps the k=6 nearest, and selects their payloads.
+In XLA this materializes (G,n,K)-shaped intermediates for the distance/
+validity/k-min/one-hot-select chain — measured ~13 ms/frame at bench shapes
+on v5e over the ~25 ms probe-gather floor.  This kernel fuses the whole
+chain after the (XLA) hash-row gather.
+
+Layout: the gathered rows arrive FIELD-MAJOR — (G, 5*K) with columns
+[x*K | y*K | z*K | lidx*K | gidx*K] (one XLA transpose+slice of the
+(G,K,8) gather output) — so every per-candidate operation is a lane-aligned
+(TB, K) vector op.  Outputs are packed (G, n*k*5) rows:
+[gidx, x, y, z, valid] per selected neighbor.
+
+The call is CHUNKED over row blocks: this XLA toolchain stages every Pallas
+operand/result in the 16 MB scoped-vmem budget (verified: a single
+32k x 264 operand requested 59.8 MB and failed to compile), so each call is
+kept to ~8 MB of padded operands.
+
+Selection reproduces ``exact_k_min`` exactly: k argmin passes with
+first-occurrence tie-breaking (iota tie-break), invalid candidates pinned at
+the reference's INVALID_DIST2 (model/neural_points.py:561).
+
+2-D-only values, concat-based assembly (see ops/train_kernel.py for the
+Mosaic constraints this respects).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INVALID_DIST2 = 9e3      # matches models/neural_points.py
+
+
+@dataclasses.dataclass(frozen=True)
+class RankKernelConfig:
+    G: int                # probe groups (padded to tiles*8)
+    n: int                # queries per group sharing the candidate ball
+    K: int                # candidates per ball (template size)
+    k: int                # neighbors kept
+    L: int                # local capacity (lidx >= L -> invalid)
+    max_valid_dist2: float
+    TB: int = 1024        # tile rows
+
+    @property
+    def tiles(self) -> int:
+        return self.G // self.TB
+
+
+def _rank_kernel(cfg: RankKernelConfig, rows_ref, q_ref, out_ref):
+    K, k, n = cfg.K, cfg.k, cfg.n
+    rows = rows_ref[...]                       # (TB, 5K) field-major
+    q = q_ref[...]                             # (TB, 3n)
+    xs = rows[:, 0 * K:1 * K]
+    ys = rows[:, 1 * K:2 * K]
+    zs = rows[:, 2 * K:3 * K]
+    lidx = rows[:, 3 * K:4 * K]
+    gidx = rows[:, 4 * K:5 * K]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cfg.TB, K), 1
+                                    ).astype(jnp.float32)
+    lvalid = lidx < float(cfg.L)
+
+    outs = []
+    for qq in range(n):
+        qx = q[:, 3 * qq + 0:3 * qq + 1]
+        qy = q[:, 3 * qq + 1:3 * qq + 2]
+        qz = q[:, 3 * qq + 2:3 * qq + 3]
+        dx, dy, dz = xs - qx, ys - qy, zs - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        valid = lvalid & (d2 <= cfg.max_valid_dist2)
+        d2m = jnp.where(valid, d2, _INVALID_DIST2)
+        for _ in range(k):
+            dmin = jnp.min(d2m, axis=1, keepdims=True)
+            cand = jnp.where(d2m == dmin, iota, float(K))
+            j = jnp.min(cand, axis=1, keepdims=True)
+            jm = iota == j
+            sel = lambda a: jnp.sum(jnp.where(jm, a, 0.0), axis=1,
+                                    keepdims=True)
+            v_ok = sel(valid.astype(jnp.float32))
+            g_out = jnp.where(v_ok > 0.5, sel(gidx), -1.0)
+            outs.extend([g_out, sel(xs), sel(ys), sel(zs), v_ok])
+            # mask ABOVE the invalid level (exact_k_min uses inf): an
+            # exhausted ball must re-pick untouched INVALID columns, never a
+            # previously selected valid one
+            d2m = jnp.where(jm, jnp.float32(3e38), d2m)
+    out_ref[...] = jnp.concatenate(outs, axis=1)
+
+
+_CHUNK = 2048             # rows per pallas call (scoped-vmem budget; 4096
+#                           left only 0.14 MB headroom at some shapes)
+
+
+def probe_rank_pallas(cfg: RankKernelConfig, rows_fm, queries,
+                      interpret: bool = False):
+    """rows_fm (G0, 5K) field-major gathered rows; queries (G0, 3n).
+
+    Returns (gidx (G0,n,k) i32, pos (G0,n,k,3), valid (G0,n,k)) — identical
+    semantics to mapper._probe_rank's ranking."""
+    G0 = rows_fm.shape[0]
+    # temporaries scale with n (per-query (TB,K) live values): shrink the
+    # tile so the kernel's VMEM footprint stays flat across block shapes
+    tb_max = max(8, 1024 // max(cfg.n, 1) // 8 * 8)
+    TB = min(cfg.TB, tb_max, -(-G0 // 8) * 8)
+    CH = min(_CHUNK if cfg.n == 1 else 4 * TB, max(TB, G0))
+    CH = -(-CH // TB) * TB
+    cfg = dataclasses.replace(cfg, TB=TB)
+    G = -(-G0 // CH) * CH
+    if G != G0:
+        # padded groups: sentinel rows (lidx = L) rank to all-invalid
+        pad_r = jnp.zeros((G - G0, rows_fm.shape[1]), jnp.float32)
+        pad_r = pad_r.at[:, 3 * cfg.K:4 * cfg.K].set(float(cfg.L))
+        rows_fm = jnp.concatenate([rows_fm, pad_r], 0)
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((G - G0, queries.shape[1]), jnp.float32)], 0)
+
+    cfg = dataclasses.replace(cfg, G=CH)
+    cols = cfg.n * cfg.k * 5
+    call = pl.pallas_call(
+        functools.partial(_rank_kernel, cfg),
+        grid_spec=pl.GridSpec(
+            grid=(CH // TB,),
+            in_specs=[
+                pl.BlockSpec((TB, rows_fm.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, queries.shape[1]), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TB, cols), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((CH, cols), jnp.float32),
+        interpret=interpret,
+    )
+    # lax.scan serializes the chunk calls: scheduled concurrently, their
+    # scoped-vmem allocations SUM (8 x ~7 MB failed the 16 MB budget)
+    n_ch = G // CH
+    if n_ch == 1:
+        out = call(rows_fm, queries)
+    else:
+        def one(_, rq):
+            r, qv = rq
+            return None, call(r, qv)
+        _, out = jax.lax.scan(
+            one, None,
+            (rows_fm.reshape(n_ch, CH, -1), queries.reshape(n_ch, CH, -1)))
+        out = out.reshape(G, -1)
+
+    out = out[:G0].reshape(G0, cfg.n, cfg.k, 5)
+    gidx = jnp.round(out[..., 0]).astype(jnp.int32)
+    pos = out[..., 1:4]
+    valid = out[..., 4] > 0.5
+    gidx = jnp.where(valid, gidx, -1)
+    return gidx, pos, valid

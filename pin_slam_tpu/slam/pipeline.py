@@ -107,6 +107,13 @@ class SlamSystem:
             self._use_kernel = False
         else:
             self._use_kernel = supported and jax.default_backend() == "tpu"
+        wr = config.use_pallas_rank
+        if wr is True or wr == "true":
+            self._use_rank_kernel = True
+        elif wr is False or wr == "false":
+            self._use_rank_kernel = False
+        else:
+            self._use_rank_kernel = jax.default_backend() == "tpu"
 
         self.state = npts.init_map_state(self.mc)
         self.lm = npts.init_local_map(self.mc)
@@ -217,12 +224,19 @@ class SlamSystem:
             # iteration refusion reassociates f32 math enough to move the
             # square-loop drift 0.042 -> 0.066 m — not worth it (the knob
             # remains on mapping_loop_cached for experiments)
+            unroll = (cfg.train_unroll if cfg.train_unroll > 0
+                      else (5 if self._use_kernel else 1))
+            # num_iters not divisible by the unroll just falls back to 1
+            # (lax.scan handles remainders, but keep timing deterministic)
+            if num_iters % unroll != 0:
+                unroll = 1
             return lambda lm, params, opt, pool, key, scale, use_new: \
                 mp.mapping_loop_cached(lm, mc, params, opt, pool, mcfg, key,
                                        scale, use_new, num_iters=num_iters,
                                        after_pgo=after_pgo,
                                        pos_encode=pos_encode_fn,
-                                       use_kernel=self._use_kernel)
+                                       use_kernel=self._use_kernel,
+                                       unroll=unroll)
 
         def source_prep(points, valid, colors):
             """Coarse voxel downsample of the registration source cloud
@@ -361,7 +375,8 @@ class SlamSystem:
                 far_offsets=self.far_offsets,
                 quats=(state.attr_rows[:, npts.C_QUAT] if after_pgo else None),
                 pos_encode=pos_encode_fn,
-                per_neighbor_vecs=not mcfg.weighted_first)
+                per_neighbor_vecs=not mcfg.weighted_first,
+                use_rank_kernel=self._use_rank_kernel)
             knn_g, knn_w, knn_vec = out[:3]
             knn_nvec = out[3] if len(out) == 4 else None
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,

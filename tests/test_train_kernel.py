@@ -217,3 +217,45 @@ def test_mapping_loop_kernel_parity(wf):
     np.testing.assert_allclose(np.asarray(lm_b.attr_rows[:, 7]),
                                np.asarray(lm_a.attr_rows[:, 7]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_probe_rank_kernel_parity():
+    """Pallas candidate-ranking kernel (interpret mode) against the XLA
+    _probe_rank at both block shapes (shared near ball n=5, far n=1)."""
+    from pin_slam_tpu.models import neural_points as npts
+    from pin_slam_tpu.slam import mapper as mp
+    from pin_slam_tpu.config import Config
+
+    cfg = Config()
+    cfg.map_capacity = 1 << 12
+    cfg.local_map_capacity = 1 << 10
+    cfg.buffer_size = 1 << 14
+    cfg.downsample_hash_size = 1 << 12
+    cfg._derive()
+    mc = npts.MapConfig.from_config(cfg)
+    offsets = jnp.asarray(npts.neighbor_offsets(cfg.num_nei_cells,
+                                                cfg.search_alpha))
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-3, 3, size=(700, 3)).astype(np.float32)
+    travel = jnp.zeros((1 << 10,), jnp.float32)
+    state = npts.init_map_state(mc)
+    state = npts.map_insert(state, mc, jnp.asarray(pts),
+                            jnp.ones((700,), bool), jnp.int32(0), travel,
+                            downsample_table_size=cfg.downsample_hash_size)
+    lm = npts.build_local_map(state, mc, jnp.zeros(3), jnp.int32(0), travel)
+
+    for n in (1, 5):
+        G = 300
+        probe = jnp.asarray(pts[rng.integers(0, 700, G)]
+                            + rng.normal(0, 0.1, (G, 3)).astype(np.float32))
+        q = probe[:, None, :] + jnp.asarray(
+            rng.normal(0, 0.2, (G, n, 3)).astype(np.float32))
+        g_a, p_a, v_a = mp._probe_rank(lm, mc, offsets, probe, q, 6)
+        g_b, p_b, v_b = mp._probe_rank(lm, mc, offsets, probe, q, 6,
+                                       use_rank_kernel=True)
+        np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_a))
+        np.testing.assert_array_equal(np.asarray(g_b), np.asarray(g_a))
+        # positions of INVALID slots are unspecified; compare valid only
+        np.testing.assert_allclose(
+            np.asarray(p_b)[np.asarray(v_a)], np.asarray(p_a)[np.asarray(v_a)],
+            rtol=1e-6, atol=1e-6)
