@@ -325,6 +325,41 @@ class Config:
         # Pallas candidate-ranking kernel for the append-time kNN
         # (ops/rank_kernel.py); "auto" = on when running on TPU
         self.use_pallas_rank = "auto"
+        # exact voxel-dedup group probe at append time
+        # (mapper.dedup_group_probe): items sharing a probe voxel share one
+        # hash-ball gather — bit-identical in-budget results; items past the
+        # static budget lose their supervision for that frame (never wrong).
+        # "auto" = on everywhere (pure XLA); budgets are fractions of the
+        # free-space sample count / ray count (measured voxel duplication:
+        # groups fit in 0.44x/0.38x items at bench/KITTI shapes — PERF.md)
+        # post-downsample compaction bucket for the mapping cloud: the
+        # on-device voxel-downsample keep-mask leaves the static frame width
+        # untouched, so every downstream op (sampler, probes, pool append)
+        # pays full frame_bucket width even when the profile's vox_down_m
+        # discards most rows (KITTI: ~131k raw -> ~40k mapped at 0.08 m,
+        # ref config/lidar_slam/run_kitti.yaml + dataset/slam_dataset.py:282).
+        # Compacting survivors into this bucket recovers the reference's
+        # effective per-frame workload.  0 = off (no compaction); survivors
+        # past the bucket are dropped with their supervision.
+        self.mapping_bucket: int = 0
+        self.use_probe_dedup = "auto"
+        # group budget as a fraction of far samples.  Groups-needed measures
+        # 0.38-0.49x items across bench/KITTI/square scenes, but running the
+        # budget NEAR the need silently drops free-space supervision on the
+        # frames that exceed it — measured square-loop drift 0.042 -> 0.112 m
+        # at 0.5 vs BIT-EXACT 0.042 m at 0.75 (PERF.md r4 ledger).  Default
+        # 0.75 = exactness headroom; benches may set a scene-measured value
+        self.probe_dedup_budget: float = 0.75
+        # endpoint (shared-ball) dedup is OFF by default: measured on v5e the
+        # q=4-per-item mapback (131k rows) costs more than the probe rows it
+        # saves (+6 ms vs -2; PERF.md r4) — the knob stays for other shapes
+        self.probe_dedup_near_budget: float = 0.0
+        # city-scale spatial map sharding (parallel/spatial.py live backend):
+        # >1 shards the GLOBAL neural-point SoA + voxel hash over that many
+        # devices of a ("data","map") mesh; the bounded local window stays
+        # replicated so tracker/training/mesher run unchanged.  v1 requires
+        # pgo_on=False, ba_freq_frame=0 and dp_devices=1
+        self.map_shards: int = 1
         # syncing per-frame loss scalars to host costs a device round trip per
         # frame; disable for benchmarking / production runs
         self.log_loss_per_frame: bool = True
@@ -467,7 +502,9 @@ class Config:
             "insert_bucket", "downsample_hash_size", "mesh_query_bucket",
             "mesh_shape", "buffer_size", "dp_devices",
             "far_num_nei_cells", "far_search_alpha", "use_pallas_train",
-            "train_unroll", "use_pallas_rank")},
+            "train_unroll", "use_pallas_rank", "use_probe_dedup",
+            "probe_dedup_budget", "probe_dedup_near_budget", "map_shards",
+            "mapping_bucket")},
         # ROS node knobs (ref utils/config.py:321-324; the reference reads
         # them as code defaults too, but make them YAML-settable here)
         "ros": {k: k for k in (

@@ -405,8 +405,20 @@ def fused_eikonal_iter(cfg: EikKernelConfig, feats, wst, vst_or_nvst, esc,
     n = cfg.n
     # Mosaic requires block sublane counts divisible by 8: pad the base rows
     # to a multiple of 8*tiles (padded rows carry esc = 0 and wst = 0, so
-    # they contribute nothing to loss, grads, or certainty)
+    # they contribute nothing to loss, grads, or certainty).
+    # The tile count is sized to the scoped-vmem budget.  Mosaic stages the
+    # FULL operands in scoped vmem regardless of the grid blocking (S(1)
+    # layouts in the OOM dump), and the kernel's per-tile temporaries scale
+    # with TN: measured on the run_kitti weighted_first=False shape
+    # (TN=416, 199 operand cols/row) the call requested 23.58 MB of the
+    # 16 MB budget, i.e. ~55x the per-row operand bytes — grow tiles until
+    # the calibrated estimate leaves half the budget free
+    sd_est = wst.shape[1] + vst_or_nvst.shape[1]
+    row_bytes = (cfg.k * (cfg.F + 1) + 1 + 6 * sd_est) * 4 * 55
     tiles = 4
+    while (-(-n // (8 * tiles)) * 8 * row_bytes > 8 * 2 ** 20
+           and tiles < 512):
+        tiles *= 2
     n_pad = -(-n // (8 * tiles)) * (8 * tiles)
     cfg = dataclasses.replace(cfg, n=n_pad, tiles=tiles)
     TN = cfg.TN

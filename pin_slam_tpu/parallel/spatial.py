@@ -339,3 +339,216 @@ def shard_spatial_batch(mesh: Mesh, batch: SpatialBatch) -> SpatialBatch:
         valid=jax.device_put(batch.valid, ds),
         travel_now=jax.device_put(batch.travel_now, rep),
     )
+
+
+# ======================================================================
+# Live SlamSystem backend (VERDICT r3 next #5): global map sharded over
+# MAP_AXIS, bounded local window replicated.
+# ======================================================================
+#
+# The library functions above train directly against the sharded GLOBAL map.
+# The live SLAM loop instead keeps its heavily-optimized single-device local
+# window (tracker GN/LM, pool-cached kNN, Pallas kernels) and shards only the
+# UNBOUNDED global state — the thing that outgrows one chip's HBM (the
+# reference's one-device global SoA + 5e7-slot hash,
+# /root/reference/model/neural_points.py:73-93):
+#
+# * insert: communication-free per-shard ownership masking (as above)
+# * local-map build: each shard extracts ITS in-window members with the
+#   ordinary build_local_map, one all_gather of the (L_s+1)-row blocks
+#   crosses the map axis, and the replicated merge compacts them into ONE
+#   merged LocalMap whose global indices are shard-block encoded
+#   (g = shard*(cap_s+1) + row) — odometry, training, meshing, loop
+#   detection all run on it UNCHANGED
+# * write-back: shard s's members occupy one contiguous rank range of the
+#   merged local rows (global-id order is shard-major), so each shard slices
+#   its trained block and runs the ordinary dense-span assign_local_to_global
+#   — communication-free
+#
+# v1 limitation (asserted in the pipeline): PGO map deformation / BA /
+# global prune-merge are not yet sharded — map_shards>1 requires pgo_on=False
+# and ba_freq_frame=0.
+
+
+class LiveSpatialBackend(NamedTuple):
+    mesh: Mesh
+    smc: MapConfig            # per-shard config
+    mc_merged: MapConfig      # what the rest of the pipeline uses
+    n_map: int
+    init_state: "object"      # () -> stacked sharded MapState
+    init_slms: "object"       # () -> stacked sharded LocalMap
+    insert: "object"          # (sstate, pts, valid, ts, travel, bucket) -> sstate
+    extract: "object"         # (sstate, origin, ts, travel) -> (slms, merged LocalMap)
+    writeback: "object"       # (sstate, slms, attr, geo, col, travel) -> sstate
+
+
+def make_live_backend(mesh: Mesh, mc_user: MapConfig, n_map: int,
+                      downsample_table_size: int = 1 << 20,
+                      insert_bucket: int = 1 << 14) -> LiveSpatialBackend:
+    """Build the sharded-global-map backend for SlamSystem (see module note).
+
+    ``mc_user``: the single-device MapConfig the YAML describes; per-shard
+    capacities divide it.  The returned ``mc_merged`` (capacity
+    ``n_map*(cap_s+1)-1`` for shard-block-encoded global ids, local capacity
+    ``n_map*L_s``) is what every consumer of the merged LocalMap must use.
+    """
+    smc = dataclasses.replace(
+        mc_user,
+        capacity=max(1, mc_user.capacity // n_map),
+        hash_size=max(2, mc_user.hash_size // n_map),
+        local_capacity=max(1, mc_user.local_capacity // n_map))
+    cs1 = smc.capacity + 1
+    Ls = smc.local_capacity
+    merged_cap = n_map * cs1 - 1
+    Lm = n_map * Ls
+    mc_merged = dataclasses.replace(mc_user, capacity=merged_cap,
+                                    local_capacity=Lm)
+
+    def init_state():
+        @partial(shard_map, mesh=mesh, in_specs=(), out_specs=P(MAP_AXIS))
+        def _init():
+            return jax.tree.map(lambda x: x[None], npts.init_map_state(smc))
+        return jax.jit(_init)()
+
+    def init_slms():
+        @partial(shard_map, mesh=mesh, in_specs=(), out_specs=P(MAP_AXIS))
+        def _init():
+            return jax.tree.map(lambda x: x[None], npts.init_local_map(smc))
+        return jax.jit(_init)()
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(MAP_AXIS), P(), P(), P(), P()),
+             out_specs=P(MAP_AXIS))
+    def _insert(sstate, points, valid, cur_ts, travel):
+        state = jax.tree.map(lambda x: x[0], sstate)
+        own = shard_of(grid_coords(points, smc.voxel_size), n_map) \
+            == jax.lax.axis_index(MAP_AXIS)
+        # the ownership mask leaves each shard ~1/n_map of the frame's
+        # survivors, so the per-call bucket can be far below the frame width —
+        # map_insert's whole-bucket room guard (count <= cap - bucket) then
+        # lets the shard fill close to its capacity instead of refusing
+        # inserts at cap/2
+        new = npts.map_insert(state, smc, points, valid & own, cur_ts, travel,
+                              downsample_table_size=downsample_table_size,
+                              insert_bucket=min(points.shape[0], insert_bucket,
+                                                smc.capacity))
+        return jax.tree.map(lambda x: x[None], new)
+
+    def insert(sstate, points, valid, cur_ts, travel):
+        return _insert(sstate, points, valid, cur_ts, travel)
+
+    # the per-query outputs of the gather half are value-replicated over the
+    # map axis (they come from all_gather), which the static varying-axes
+    # check cannot prove -> check_vma=False (as the library query above)
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(MAP_AXIS), P(), P(), P()),
+             out_specs=(P(MAP_AXIS), P()), check_vma=False)
+    def _extract_blocks(sstate, origin, cur_ts, travel):
+        state = jax.tree.map(lambda x: x[0], sstate)
+        lm_s = npts.build_local_map(state, smc, origin, cur_ts, travel)
+        s = jax.lax.axis_index(MAP_AXIS)
+        gidx = jnp.where(lm_s.indices < smc.capacity,
+                         s * cs1 + lm_s.indices, merged_cap)
+        blocks = (gidx, lm_s.attr_rows, lm_s.geo_features,
+                  lm_s.color_features, lm_s.count, lm_s.member_mask)
+        gathered = jax.lax.all_gather(blocks, MAP_AXIS)   # (n_map, ...)
+        return jax.tree.map(lambda x: x[None], lm_s), gathered
+
+    def extract(sstate, origin, cur_ts, travel):
+        slms, g = _extract_blocks(sstate, origin, cur_ts, travel)
+        gidx_g, attr_g, geo_g, col_g, counts_g, mm_g = g
+
+        # merged compaction: flat order = (shard, in-shard rank) = ascending
+        # shard-block global id, the SAME order as the concatenated member
+        # masks — so the rank-based global->local remap downstream
+        # (mapper.mapping_loop_cached, assign) works unchanged
+        nrow = n_map * (Ls + 1)
+        active = (jnp.arange(Ls + 1, dtype=jnp.int32)[None, :]
+                  < counts_g[:, None]).reshape(-1)
+        rankf = jnp.cumsum(active.astype(jnp.int32)) - 1
+        active = active & (rankf < Lm)                     # keep-first overflow
+        j = jnp.nonzero(active, size=Lm, fill_value=nrow)[0].astype(jnp.int32)
+        j_pad = jnp.concatenate([j, jnp.array([nrow], jnp.int32)])
+
+        def take(flat, sentinel_row):
+            padded = jnp.concatenate([flat, sentinel_row[None]], axis=0)
+            return padded[j_pad]
+
+        F = smc.feature_dim
+        indices = take(gidx_g.reshape(nrow), jnp.asarray(merged_cap, jnp.int32))
+        attr = take(attr_g.reshape(nrow, ATTR_DIM), npts._attr_sentinel_row())
+        geo = take(geo_g.reshape(nrow, F), jnp.zeros((F,), jnp.float32))
+        col = (take(col_g.reshape(nrow, F), jnp.zeros((F,), jnp.float32))
+               if col_g is not None else None)
+        count = jnp.minimum(jnp.sum(counts_g), Lm)
+
+        mm = mm_g.reshape(n_map * cs1)                     # (merged_cap+1,)
+        rank = jnp.cumsum(mm.astype(jnp.int32)) - 1
+        mm = mm & (rank < Lm)
+
+        merged = npts.LocalMap(
+            indices=indices, attr_rows=attr, geo_features=geo,
+            color_features=col, count=count, member_mask=mm,
+            lo1=jnp.zeros((), jnp.int32), lo2=jnp.zeros((), jnp.int32),
+            origin=origin.astype(jnp.float32),
+            hash_rows=npts._pack_hash_rows(mc_merged, attr[:, C_POS], count,
+                                           indices))
+        return slms, merged
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(MAP_AXIS), P(MAP_AXIS), P(), P(), P(), P()),
+             out_specs=P(MAP_AXIS), check_vma=False)
+    def _writeback(sstate, slms, m_attr, m_geo, m_col, travel):
+        state = jax.tree.map(lambda x: x[0], sstate)
+        lm_s = jax.tree.map(lambda x: x[0], slms)
+        s = jax.lax.axis_index(MAP_AXIS)
+        counts_g = jax.lax.all_gather(lm_s.count, MAP_AXIS)
+        start = jnp.sum(jnp.where(jnp.arange(n_map) < s, counts_g, 0)
+                        ).astype(jnp.int32)
+        n_in = jnp.clip(Lm - start, 0, lm_s.count)         # merged-overflow trim
+        rank_s = jnp.cumsum(lm_s.member_mask.astype(jnp.int32)) - 1
+        mm2 = lm_s.member_mask & (rank_s < n_in)
+
+        F = smc.feature_dim
+        pad_a = jnp.zeros((Ls, ATTR_DIM), jnp.float32)
+        pad_f = jnp.zeros((Ls, F), jnp.float32)
+        attr_s = jax.lax.dynamic_slice(
+            jnp.concatenate([m_attr, pad_a]), (start, 0), (Ls + 1, ATTR_DIM))
+        geo_s = jax.lax.dynamic_slice(
+            jnp.concatenate([m_geo, pad_f]), (start, 0), (Ls + 1, F))
+        col_s = (jax.lax.dynamic_slice(
+            jnp.concatenate([m_col, pad_f]), (start, 0), (Ls + 1, F))
+            if m_col is not None else None)
+        lm_w = lm_s._replace(attr_rows=attr_s, geo_features=geo_s,
+                             color_features=col_s, member_mask=mm2)
+        new = npts.assign_local_to_global(state, lm_w, smc, travel)
+        return jax.tree.map(lambda x: x[None], new)
+
+    def writeback(sstate, slms, m_attr, m_geo, m_col, travel):
+        return _writeback(sstate, slms, m_attr, m_geo, m_col, travel)
+
+    return LiveSpatialBackend(
+        mesh=mesh, smc=smc, mc_merged=mc_merged, n_map=n_map,
+        init_state=init_state, init_slms=init_slms, insert=insert,
+        extract=extract, writeback=writeback)
+
+
+def gather_state_dense(sstate, smc: MapConfig, n_map: int):
+    """Host-side: stacked sharded MapState -> dense compacted numpy arrays
+    (positions, attr_rows, geo_features, color_features-or-None, shard-block
+    global ids, total count) for artifacts/eval (pin_map.npz, viewer, final
+    mesh)."""
+    cs1 = smc.capacity + 1
+    attr = np.asarray(sstate.attr_rows).reshape(n_map * cs1, ATTR_DIM)
+    geo = np.asarray(sstate.geo_features).reshape(n_map * cs1, -1)
+    col = (np.asarray(sstate.color_features).reshape(n_map * cs1, -1)
+           if sstate.color_features is not None else None)
+    counts = np.asarray(sstate.count).reshape(-1)
+    rows = []
+    for s in range(n_map):
+        rows.append(np.arange(s * cs1, s * cs1 + int(counts[s])))
+    rows = (np.concatenate(rows) if rows else
+            np.zeros((0,), np.int64)).astype(np.int64)
+    return (attr[rows, :3], attr[rows], geo[rows],
+            col[rows] if col is not None else None, rows.astype(np.int32),
+            int(counts.sum()))

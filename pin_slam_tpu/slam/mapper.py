@@ -294,12 +294,95 @@ def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k,
     return gidx_k, pos_k, valid_k
 
 
+def dedup_group_probe(lm, mc, offsets, probe_pts, queries, k, budget: int,
+                      n_g: int, use_rank_kernel: bool = False):
+    """Exact voxel-dedup probe (VERDICT r3 next #1): items whose probe points
+    share a VOXEL share one hash-ball gather.
+
+    ``probe_pts`` (N,3) — one probe point per item; ``queries`` (N,q,3) — the
+    q query positions of each item (q=1 for individually-probed free-space
+    samples; q=near_count for the per-ray shared-ball block, where the item is
+    the ray and the probe point its endpoint).
+
+    Items are sorted by an EXACT frame-recentered voxel key and packed into
+    groups of up to ``n_g`` same-voxel items; each of the first ``budget``
+    groups probes its voxel's neighbor-cell ball once and ranks all its
+    items' queries within it (``_probe_rank`` with n = n_g*q).  Because
+    grouped items share the exact voxel, in-budget results are BIT-IDENTICAL
+    to probing each item individually (same candidate rows, same exact
+    distances, same tie-breaking) — this is pure row-count dedup, not an
+    approximation.  The measured duplication (bench scene: 34% unique far
+    voxels, 39% unique endpoint voxels) makes a 0.5N budget cover typical
+    frames; items in groups past the budget (pathological all-unique frames)
+    come back all-invalid — supervision dropped for the frame, never wrong.
+
+    Returns (gidx (N,q,k) i32, pos (N,q,k,3), valid (N,q,k)) in ORIGINAL
+    item order.
+    """
+    N, q = queries.shape[0], queries.shape[1]
+    G_B = max(8, budget)
+    gc = jnp.floor(probe_pts / mc.voxel_size).astype(jnp.int32)
+    # exact 30-bit key after per-frame recentering: a frame's probe extent is
+    # bounded by 2*max_range (≤ ~120 m / voxel ≪ 1024 cells per axis), so
+    # subtracting the frame min keeps every in-range item's key exact; the
+    # clip only touches garbage coords from padded rays
+    gc = jnp.clip(gc - jnp.min(gc, axis=0), 0, 1023)
+    key = (gc[:, 0] << 20) + (gc[:, 1] << 10) + gc[:, 2]
+    order = jnp.argsort(key)                       # stable (jnp default)
+    ks = key[order]
+    sp = probe_pts[order]
+    sq = queries[order]
+
+    pos_i = jnp.arange(N, dtype=jnp.int32)
+    newrun = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    run_start = jax.lax.cummax(jnp.where(newrun, pos_i, -1))
+    slot_in_run = pos_i - run_start
+    newgrp = newrun | (slot_in_run % n_g == 0)
+    gid = jnp.cumsum(newgrp.astype(jnp.int32)) - 1
+    slot = slot_in_run % n_g
+    over = gid >= G_B
+
+    # group probe points: first item of each in-budget group (one writer per
+    # group); out-of-budget groups keep the sentinel -> far-away voxel ball
+    # whose ranked output is never read back
+    probe = jnp.full((G_B, 3), 1e6, jnp.float32).at[
+        jnp.where(newgrp & ~over, gid, G_B)].set(sp, mode="drop")
+    # group queries: item (gid, slot) owns rows [slot*q, (slot+1)*q)
+    qrow = (gid * n_g + slot) * q
+    qidx = (jnp.where(over, jnp.int32(G_B * n_g * q), qrow)[:, None]
+            + jnp.arange(q, dtype=jnp.int32)[None, :]).reshape(-1)
+    gq = jnp.zeros((G_B * n_g * q, 3), jnp.float32).at[qidx].set(
+        sq.reshape(-1, 3), mode="drop").reshape(G_B, n_g * q, 3)
+
+    gidx_g, pos_g, valid_g = _probe_rank(lm, mc, offsets, probe, gq, k,
+                                         use_rank_kernel=use_rank_kernel)
+
+    # map back: pack -> gather each item's q rows -> unsort.  The pack keeps
+    # the mapback ONE wide row-gather + one row-scatter (per-row costs
+    # dominate; see the append_knn docstring)
+    packed = jnp.concatenate(
+        [gidx_g.astype(jnp.float32)[..., None], pos_g,
+         valid_g.astype(jnp.float32)[..., None]], axis=-1)   # (G,nq,k,5)
+    packed = packed.reshape(G_B * n_g * q, k * 5)
+    rows = packed[jnp.minimum(qidx, G_B * n_g * q - 1)]      # (N*q, k*5)
+    # over-budget items: zero the whole row -> valid False -> gidx -1 below
+    rows = jnp.where(jnp.repeat(over, q)[:, None], 0.0, rows)
+    out = jnp.zeros((N, q * k * 5), jnp.float32).at[order].set(
+        rows.reshape(N, q * k * 5))                          # unsort
+    out = out.reshape(N, q, k, 5)
+    gidx = jnp.round(out[..., 0]).astype(jnp.int32)
+    pos = out[..., 1:4]
+    valid = out[..., 4] > 0.5
+    return jnp.where(valid, gidx, -1), pos, valid
+
+
 def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
                ray_sample_count: int, near_count: int,
                behind_count: int = 0, far_offsets: Optional[jax.Array] = None,
                quats: Optional[jax.Array] = None, pos_encode=None,
                per_neighbor_vecs: bool = False,
-               use_rank_kernel: bool = False):
+               use_rank_kernel: bool = False,
+               dedup_far_budget: int = 0, dedup_near_budget: int = 0):
     """kNN + cached geometry of one frame's samples at append time, with the
     probe SHARED along each ray (see the pool-row layout note): the first
     ``near_count`` samples of a ray (endpoint + Gaussian surface + behind —
@@ -336,6 +419,13 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
 
     Front free-space samples spread along the whole ray and always probe
     individually.
+
+    ``dedup_far_budget`` / ``dedup_near_budget`` > 0 route the free-space /
+    shared-ball probes through ``dedup_group_probe`` with that static group
+    budget: items sharing a probe voxel share one ball gather (bit-identical
+    in-budget results; the measured bench/KITTI duplication fits comfortably
+    in 0.5 x items / 0.7 x rays — see dedup_group_probe).
+
     ``quats``: (cap+1, 4) global quaternion rows for the post-PGO offset
     rotation (identity until map deformation), or None.
 
@@ -354,8 +444,13 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
         near = c3[:, :near_count]
         far = c3[:, near_count:]
 
-    g_near, p_near, v_near = _probe_rank(lm, mc, offsets, c3[:, 0], near, k,
-                                         use_rank_kernel=use_rank_kernel)
+    if dedup_near_budget > 0:
+        g_near, p_near, v_near = dedup_group_probe(
+            lm, mc, offsets, c3[:, 0], near, k, dedup_near_budget, n_g=2,
+            use_rank_kernel=use_rank_kernel)
+    else:
+        g_near, p_near, v_near = _probe_rank(lm, mc, offsets, c3[:, 0], near,
+                                             k, use_rank_kernel=use_rank_kernel)
     if far.shape[1] > 0:
         far_flat = far.reshape(-1, 3)
         # optional narrower template for the individually-probed free-space
@@ -363,10 +458,16 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
         # whose sigmoid targets saturate away from surfaces, so a shorter
         # candidate reach costs little supervision while the probe's gathered
         # rows (the dominant frame_update cost) shrink proportionally
-        g_far, p_far, v_far = _probe_rank(
-            lm, mc, offsets if far_offsets is None else far_offsets,
-            far_flat, far_flat[:, None, :], k,
-            use_rank_kernel=use_rank_kernel)
+        if dedup_far_budget > 0:
+            g_far, p_far, v_far = dedup_group_probe(
+                lm, mc, offsets if far_offsets is None else far_offsets,
+                far_flat, far_flat[:, None, :], k, dedup_far_budget, n_g=4,
+                use_rank_kernel=use_rank_kernel)
+        else:
+            g_far, p_far, v_far = _probe_rank(
+                lm, mc, offsets if far_offsets is None else far_offsets,
+                far_flat, far_flat[:, None, :], k,
+                use_rank_kernel=use_rank_kernel)
         g_far = g_far.reshape(n_rays, -1, k)
         p_far = p_far.reshape(n_rays, -1, k, 3)
         v_far = v_far.reshape(n_rays, -1, k)
@@ -999,245 +1100,6 @@ def _mapping_loop_fast(lm: npts.LocalMap, mc: npts.MapConfig,
 
     (params, opt_state), loss_hist = jax.lax.scan(one_iter, (params, opt_state), xs)
     return lm_out, params, opt_state, loss_hist
-
-
-def kernel_path_supported(mc: npts.MapConfig, mcfg: MapperConfig,
-                          geo: dec.DecoderParams) -> bool:
-    """Whether the Pallas fused-iteration kernels cover this configuration
-    (ops/train_kernel.py): geo-only heads, single hidden layer with bias,
-    no feature layer-norm, tile-divisible batch."""
-    return (not mcfg.semantic_on and not mcfg.color_on
-            and not mc.layer_norm_on
-            and len(geo.hidden) == 1
-            and geo.hidden[0][1] is not None and geo.out[1] is not None
-            and mcfg.bs % 128 == 0   # 16 tiles x 8-sublane blocks
-            and (mcfg.bs // mcfg.gradient_decimation > 0
-                 or not mcfg.ekional_loss_on))
-
-
-@partial(jax.jit, static_argnames=("mc", "mcfg", "num_iters", "after_pgo",
-                                   "pos_encode", "axis_name", "unroll",
-                                   "use_kernel"))
-def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
-                        params: TrainableParams, opt_state: AdamState,
-                        pool: PoolState,
-                        mcfg: MapperConfig, key: jax.Array,
-                        decoder_lr_scale: jax.Array, use_new: jax.Array,
-                        num_iters: int, after_pgo: bool = False,
-                        pos_encode=None, axis_name=None, unroll: int = 1,
-                        use_kernel: bool = False):
-    """The per-frame training loop with POOL-CACHED kNN — the TPU-native
-    production path (ref utils/mapper.py:425-593 ``mapping``).
-
-    Design (see the pool-row layout note): every batch row carries its k=6
-    global neighbor indices PLUS the precomputed IDW weights and blended
-    offset vector, so an iteration is pure dense math + one feature gather +
-    one backward scatter — no hash probe, no neighbor attribute gathers, no
-    per-batch geometry.  The cached GLOBAL indices are remapped to LOCAL rows
-    once per frame (one narrow gather from a dense rank table): training
-    still operates on the compact (L+1, F+1) LOCAL feature table, which is
-    cache-resident — measured 6x faster for both the scan's gather and its
-    backward scatter than the (cap+1) global table.  Neighbors outside the
-    current local-map window map to the sentinel row (their cached weight is
-    zeroed, their feature contribution drops out), which matches the
-    reference's travel-window query filter (model/neural_points.py:480-488).
-    Only the eikonal stencil still touches neighbor positions — for the
-    DECIMATED subset only, one small gather per frame.
-
-    ``params.features`` is the (L+1, F+1) local feature table where column
-    F is the CERTAINTY CHANNEL: a loss term ``sum(w * feats[:, F])`` makes the
-    autodiff backward scatter deliver the per-point IDW-weight sums
-    (ref model/neural_points.py:634-652 certainty accumulation) in the SAME
-    scatter as the feature gradients — column F's raw gradient is extracted
-    per iteration and zeroed before Adam, and its values stay pinned at 0.
-
-    Returns (lm with updated cert/ts bookkeeping, params, opt_state,
-    loss_hist); the caller writes features back to the global map via
-    ``assign_local_to_global`` exactly as the legacy paths do.
-
-    ``axis_name``: when set (inside ``shard_map``), runs DATA-PARALLEL over
-    the batch axis: each device samples its own batch shard (key folded with
-    the axis index), per-device gradients are ``pmean``-reduced over ICI
-    before the (replicated, identical) Adam update — the standard pjit DP
-    recipe; ``mcfg.bs`` is then the PER-DEVICE batch (see
-    parallel.mesh.make_sharded_mapping_loop).
-    """
-    _, adam_step = _fused_adam(mcfg)
-    if axis_name is not None:
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        axis_size = jax.lax.psum(1, axis_name)
-    T, B = num_iters, mcfg.bs
-    F = params.features.shape[1] - 1                      # feature dim (col F = cert)
-    L = mc.local_capacity
-    cap = mc.capacity
-    k = 6
-    eik = mcfg.ekional_loss_on
-    n_grad = B // mcfg.gradient_decimation if eik else 0
-
-    # ---- all iterations' batches at once: ONE wide row gather ----
-    idx_all = _sample_batch_indices(key, pool, mcfg, use_new, num_iters)  # (T,B)
-    flat_idx = idx_all.reshape(-1)
-    rows = pool.rows[flat_idx]                            # (T*B, pool_dim)
-    coord = rows[:, P_COORD]
-    labels = rows[:, P_LABEL].reshape(T, B)
-    weights = jnp.abs(rows[:, P_WEIGHT]).reshape(T, B)
-    ts_flat = rows[:, P_TS]
-    in_pool = ((flat_idx < pool.fill) & (ts_flat >= 0.0)).reshape(T, B)
-    gidx = rows[:, P_KNN].astype(jnp.int32)               # (T*B, k)
-
-    # global -> local remap via the dense member-rank table
-    rank = jnp.cumsum(lm.member_mask.astype(jnp.int32)) - 1   # (cap+1,)
-    local_of = jnp.where(lm.member_mask, jnp.minimum(rank, L), L)
-    lidx = local_of[jnp.where(gidx >= 0, jnp.minimum(gidx, cap), cap)]
-    valid_k = (gidx >= 0) & (lidx < L)
-    safe_g = jnp.where(valid_k, lidx, L)
-
-    # newest pool ts among this frame's samples — the ts_update proxy folded
-    # into touched points after the scan (see the fold below)
-    ts_proxy = jnp.max(jnp.where(in_pool, ts_flat.reshape(T, B), 0.0))
-    if axis_name is not None:
-        ts_proxy = jax.lax.pmax(ts_proxy, axis_name)
-
-    # cached geometry (computed once at append time; refreshed on PGO/BA
-    # deformation).  A neighbor that has since LEFT the local-map window gets
-    # its weight zeroed (feature contribution drops out, like the reference's
-    # travel filter); the remaining weights keep their append-time
-    # normalization, consistent with the cached blended offset vector.
-    w = jnp.where(valid_k, rows[:, P_W], 0.0)             # (T*B, k)
-    VD = mcfg.vec_dim
-    vec_blend = rows[:, P_VEC0:P_VEC0 + VD]
-    wf_first = mcfg.weighted_first
-    nbr_vec = (None if wf_first
-               else rows[:, P_VEC0 + VD:].reshape(-1, k, VD))  # (T*B,k,VD)
-
-    sem_lab = pool.sem_label[idx_all] if (mcfg.semantic_on and params.sem is not None) else None
-    col_lab = pool.color_label[flat_idx].reshape(T, B, -1) \
-        if (mcfg.color_on and params.color is not None) else None
-
-    # ---- eikonal stencil geometry: shares the base points' kNN sets, but
-    # needs fresh per-stencil distances -> ONE small neighbor-position gather
-    # over the decimated subset (ref utils/mapper.py:683-733) ----
-    if eik:
-        coord_r = coord.reshape(T, B, 3)[:, :n_grad]
-        eps_mat = jnp.eye(3, dtype=coord.dtype) * mcfg.num_grad_step
-        stencil = jnp.concatenate(
-            [coord_r[:, None] + eps_mat[None, :, None, :],
-             coord_r[:, None] - eps_mat[None, :, None, :]], axis=1)  # (T,6,n,3)
-        valid_b = valid_k.reshape(T, B, k)[:, :n_grad]
-        sg_b = safe_g.reshape(T, B, k)[:, :n_grad]        # (T,n,k) local rows
-        pose_b = lm.attr_rows[sg_b]                       # (T,n,k,16) small gather
-        nbr_b = pose_b[..., :3]
-        quat_b = pose_b[..., 3:7] if after_pgo else None
-        w_st, vecb_st, enc_st = idw_blend(
-            stencil,
-            jnp.broadcast_to(nbr_b[:, None], (T, 6, n_grad, k, 3)),
-            jnp.broadcast_to(valid_b[:, None], (T, 6, n_grad, k)),
-            jnp.broadcast_to(quat_b[:, None], (T, 6, n_grad, k, 4))
-            if after_pgo else None,
-            pos_encode, mc.idw_eps, return_per_neighbor=True)
-        vecb_st = vecb_st.reshape(T, 6 * n_grad, -1)
-        nvec_st = enc_st.reshape(T, 6 * n_grad, k, VD)
-    else:
-        w_st = jnp.zeros((T, 0, 0, k), jnp.float32)
-        vecb_st = jnp.zeros((T, 0, VD), jnp.float32)
-        nvec_st = jnp.zeros((T, 0, k, VD), jnp.float32)
-
-    xs = dict(
-        safe_g=safe_g.reshape(T, B, k),
-        w=jnp.where(valid_k, w, 0.0).reshape(T, B, k),
-        vec_blend=vec_blend.reshape(T, B, -1), label=labels, weight=weights,
-        in_pool=in_pool, w_st=w_st, vecb_st=vecb_st)
-    if not wf_first:
-        xs["nbr_vec"] = nbr_vec.reshape(T, B, k, VD)
-        xs["nvec_st"] = nvec_st
-    if sem_lab is not None:
-        xs["sem_lab"] = sem_lab
-    if col_lab is not None:
-        xs["col_lab"] = col_lab
-
-    if use_kernel:
-        # ---- Pallas fused-iteration path (ops/train_kernel.py): the scan
-        # body becomes gather -> kernel -> scatter-add -> fused Adam.  The
-        # batch-wide masked-mean denominators are folded into premultiplied
-        # per-row weights here so the kernels stay tile-local. ----
-        from pin_slam_tpu.ops import train_kernel as tkn
-
-        W1_, b1_ = params.geo.hidden[0]
-        Hdim = W1_.shape[1]
-        kcfg = tkn.TrainKernelConfig(
-            B=B, k=k, F=F, VD=VD, H=Hdim, sigma=mcfg.sigma_sigmoid,
-            scale=mcfg.sdf_scale, weighted_first=wf_first)
-        ecfg = tkn.EikKernelConfig(
-            n=n_grad, k=k, F=F, VD=VD, H=Hdim, scale=mcfg.sdf_scale,
-            step=mcfg.num_grad_step, weighted_first=wf_first) if eik else None
-        interp = jax.default_backend() == "cpu"
-
-        inp_f = in_pool.astype(jnp.float32)
-        denom = jnp.maximum(jnp.sum(inp_f, axis=1), 1.0)
-        wt_base = weights if mcfg.loss_weight_on else jnp.ones_like(weights)
-        xs["wt_eff"] = wt_base * inp_f / denom[:, None]
-        if eik:
-            inp_e = inp_f[:, :n_grad]
-            denom_e = jnp.maximum(jnp.sum(inp_e, axis=1), 1.0)
-            xs["esc"] = mcfg.weight_e * inp_e / denom_e[:, None]
-            xs["wst2"] = xs.pop("w_st").reshape(T, 6 * n_grad, k)
-            if not wf_first:
-                xs["nvst2"] = xs.pop("nvec_st").reshape(T, 6 * n_grad, k * VD)
-    else:
-        kcfg = ecfg = interp = None
-
-    def one_iter(carry, x):
-        params_c, opt_c = carry
-
-        def loss_fn(p: TrainableParams):
-            feats = p.features[x["safe_idx"]]               # (B,k,F) one gather
-            geo_feat = jnp.concatenate(
-                [jnp.einsum("bk,bkf->bf", x["w"], feats), x["vec_blend"]], -1)
-            sdf_pred = dec.sdf(p.geo, geo_feat, mcfg.sdf_scale)
-            loss = losses.sdf_bce_loss(sdf_pred, x["label"], mcfg.sigma_sigmoid,
-                                       x["weight"], mcfg.loss_weight_on,
-                                       valid=x["in_pool"])
-            if eik:
-                f_base = feats[:n_grad]                     # reuse, no re-gather
-                st_feat = jnp.einsum("jnk,nkf->jnf", x["w_st"], f_base)
-                geo_st = jnp.concatenate(
-                    [st_feat.reshape(6 * n_grad, -1), x["vecb_st"]], -1)
-                sdf_st = dec.sdf(p.geo, geo_st, mcfg.sdf_scale).reshape(6, n_grad)
-                g = jnp.stack([sdf_st[0] - sdf_st[3], sdf_st[1] - sdf_st[4],
-                               sdf_st[2] - sdf_st[5]], -1) / (2.0 * mcfg.num_grad_step)
-                loss = loss + mcfg.weight_e * losses.eikonal_loss(
-                    g, valid=x["in_pool"][:n_grad])
-            if "sem_lab" in x and p.sem is not None:
-                sem_logp = dec.sem_label_prob(p.sem, geo_feat)
-                sem_valid = x["in_pool"] & (x["sem_lab"] > 0)
-                loss = loss + mcfg.weight_s * losses.sem_nll_loss(
-                    sem_logp, x["sem_lab"], valid=sem_valid)
-            if "col_lab" in x and p.color is not None:
-                cfeats = p.color_features[x["safe_idx"]]
-                color_feat = jnp.concatenate(
-                    [jnp.einsum("bk,bkf->bf", x["w"], cfeats), x["vec_blend"]], -1)
-                color_pred = dec.regress_color(p.color, color_feat)
-                surf = x["in_pool"] & (jnp.abs(x["label"]) < mcfg.surface_sample_range)
-                loss = loss + mcfg.weight_i * losses.color_diff_loss(
-                    color_pred, x["col_lab"], x["weight"], mcfg.loss_weight_on,
-                    valid=surf)
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(params_c)
-        grads = grads._replace(
-            geo=jax.tree.map(lambda g: g * decoder_lr_scale, grads.geo),
-            sem=jax.tree.map(lambda g: g * decoder_lr_scale, grads.sem)
-            if grads.sem is not None else None,
-            color=jax.tree.map(lambda g: g * decoder_lr_scale, grads.color)
-            if grads.color is not None else None)
-        params_c, opt_c = adam_step(params_c, grads, opt_c)
-        params_c = params_c._replace(features=params_c.features.at[L].set(0.0))
-        return (params_c, opt_c), loss
-
-    (params, opt_state), loss_hist = jax.lax.scan(one_iter, (params, opt_state), xs)
-    return lm_out, params, opt_state, loss_hist
-
-
 def kernel_path_supported(mc: npts.MapConfig, mcfg: MapperConfig,
                           geo: dec.DecoderParams) -> bool:
     """Whether the Pallas fused-iteration kernels cover this configuration

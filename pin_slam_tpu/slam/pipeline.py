@@ -66,6 +66,33 @@ class SlamSystem:
         self.dataset = dataset if dataset is not None else SLAMDataset(config)
 
         self.mc = npts.MapConfig.from_config(config)
+        # city-scale spatial map sharding (tpu: map_shards > 1): the global
+        # SoA + voxel hash shard over a ("data","map") device mesh; the
+        # bounded local window is merged/replicated per frame so the tracker,
+        # the training loop, the mesher and loop detection run UNCHANGED on
+        # it (parallel/spatial.py live backend; SURVEY §2.4 item 2)
+        self._spatial = None
+        if config.map_shards > 1:
+            if config.dp_devices > 1:
+                raise ValueError("map_shards > 1 requires dp_devices == 1 "
+                                 "(v1: axes not yet composed)")
+            if config.pgo_on or config.ba_freq_frame > 0:
+                raise ValueError(
+                    "map_shards > 1 requires pgo_on=False and ba_freq_frame=0 "
+                    "(v1: global map deformation is not yet sharded)")
+            from pin_slam_tpu.parallel import spatial as psp
+
+            mesh2d = psp.make_mesh2d(1, config.map_shards)
+            # per-shard insert bucket: big enough that even frame 0 (where
+            # EVERY candidate is new and ownership splits them ~1/shards)
+            # never truncates, small enough that map_insert's whole-bucket
+            # room guard still lets each shard fill to ~cap/2
+            shard_cap = config.map_capacity // config.map_shards
+            self._spatial = psp.make_live_backend(
+                mesh2d, self.mc, config.map_shards,
+                downsample_table_size=config.downsample_hash_size,
+                insert_bucket=max(256, min(config.frame_bucket, shard_cap // 2)))
+            self.mc = self._spatial.mc_merged
         self.mcfg = mp.MapperConfig.from_config(config)
         self.sc = SamplerConfig.from_config(config)
         self.tc = trk.TrackerConfig.from_config(config)
@@ -114,8 +141,16 @@ class SlamSystem:
             self._use_rank_kernel = False
         else:
             self._use_rank_kernel = jax.default_backend() == "tpu"
+        wd = config.use_probe_dedup
+        self._use_dedup = (wd is True or wd == "true"
+                           or wd not in (False, "false"))
 
-        self.state = npts.init_map_state(self.mc)
+        if self._spatial is not None:
+            self.state = self._spatial.init_state()
+            self._slms = self._spatial.init_slms()
+        else:
+            self.state = npts.init_map_state(self.mc)
+            self._slms = None
         self.lm = npts.init_local_map(self.mc)
         self.pool = mp.init_pool(self.mcfg, color_channel=max(config.color_channel, 1))
         self.after_pgo = False
@@ -332,6 +367,27 @@ class SlamSystem:
                 static = ((cert < cfg.dynamic_certainty_thre)
                           | (sdf_pred < cfg.dynamic_sdf_ratio_thre * cfg.voxel_size_m))
                 valid = valid & static
+            if cfg.mapping_bucket and cfg.mapping_bucket < points.shape[0]:
+                # compact the downsample/filter survivors into the smaller
+                # mapping bucket: the profile's vox_down_m typically discards
+                # most of a raw KITTI frame (131k -> ~40k at 0.08 m), and the
+                # static frame width would otherwise ride through the
+                # sampler, every kNN probe and the pool append (see the
+                # config.mapping_bucket note)
+                Mb = cfg.mapping_bucket
+                cidx = jnp.nonzero(valid, size=Mb,
+                                   fill_value=points.shape[0])[0].astype(jnp.int32)
+                n_val = jnp.sum(valid, dtype=jnp.int32)
+                points = jnp.concatenate(
+                    [points, jnp.zeros((1, 3), points.dtype)])[cidx]
+                valid = jnp.arange(Mb, dtype=jnp.int32) < jnp.minimum(n_val, Mb)
+                if sem_labels is not None:
+                    sem_labels = jnp.concatenate(
+                        [sem_labels, jnp.zeros((1,), sem_labels.dtype)])[cidx]
+                if colors is not None:
+                    colors = jnp.concatenate(
+                        [colors, jnp.zeros((1, colors.shape[1]),
+                                           colors.dtype)])[cidx]
             batch = sample_rays(key, sc, points, valid, sem_labels, colors)
             coord_world = batch.coord @ pose_R.T + pose_t
             # map-insert candidates are only the near-surface samples, which
@@ -345,11 +401,18 @@ class SlamSystem:
             surf_mask = vld_surf & (
                 jnp.abs(lbl_surf)
                 < cfg.surface_sample_range_m * cfg.map_surface_ratio)
-            state = npts.map_insert(
-                state, mc, cw_surf, surf_mask, frame_id, travel,
-                downsample_table_size=cfg.downsample_hash_size,
-                insert_bucket=min(cfg.frame_bucket, cw_surf.shape[0]))
-            lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
+            if self._spatial is None:
+                state = npts.map_insert(
+                    state, mc, cw_surf, surf_mask, frame_id, travel,
+                    downsample_table_size=cfg.downsample_hash_size,
+                    insert_bucket=min(cfg.frame_bucket, cw_surf.shape[0]))
+                lm = npts.build_local_map(state, mc, pose_t, frame_id, travel)
+                slms = None
+            else:
+                state = self._spatial.insert(state, cw_surf, surf_mask,
+                                             frame_id, travel)
+                slms, lm = self._spatial.extract(state, pose_t, frame_id,
+                                                 travel)
 
             # new-region flags are restricted to the near-surface sample
             # block (the r3 drift fix: behind-surface boost bias), but the
@@ -369,6 +432,8 @@ class SlamSystem:
             # (append_knn behind_count) measured ~0 speedup on the v5e but
             # +0.05 m square-loop drift (behind samples then train the surface
             # features with deep-inside labels) — accuracy wins
+            n_rays_f = coord_world.shape[0] // sc.ray_sample_count
+            n_far = n_rays_f * (sc.ray_sample_count - 1 - sc.surface_sample_n)
             out = mp.append_knn(
                 lm, mc, offsets, coord_world, sc.ray_sample_count,
                 near_count=1 + sc.surface_sample_n,
@@ -376,7 +441,11 @@ class SlamSystem:
                 quats=(state.attr_rows[:, npts.C_QUAT] if after_pgo else None),
                 pos_encode=pos_encode_fn,
                 per_neighbor_vecs=not mcfg.weighted_first,
-                use_rank_kernel=self._use_rank_kernel)
+                use_rank_kernel=self._use_rank_kernel,
+                dedup_far_budget=(int(n_far * cfg.probe_dedup_budget)
+                                  if self._use_dedup else 0),
+                dedup_near_budget=(int(n_rays_f * cfg.probe_dedup_near_budget)
+                                   if self._use_dedup else 0))
             knn_g, knn_w, knn_vec = out[:3]
             knn_nvec = out[3] if len(out) == 4 else None
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
@@ -384,7 +453,7 @@ class SlamSystem:
                                   frame_id, new_mask, batch.sem_label,
                                   batch.color_label, knn_g, knn_w, knn_vec,
                                   knn_nbr_vec=knn_nvec)
-            return state, lm, pool
+            return state, lm, pool, slms
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 5), static_argnums=(17,))
         def update_and_train(state, lm, pool, key, decoders, travel,
@@ -415,7 +484,7 @@ class SlamSystem:
             use_new = track_ok & ~(stop_count > cfg.stop_frame_thre)
             valid_t = valid & track_ok
 
-            state, lm2, pool = frame_update(
+            state, lm2, pool, slms = frame_update(
                 state, lm, pool, k_sample, points, valid_t, pose_R,
                 pose_t, frame_id, travel, sem_labels, colors, geo_p,
                 after_pgo=after_pgo)
@@ -439,13 +508,18 @@ class SlamSystem:
             pick = partial(jax.tree.map, lambda a, b: jnp.where(track_ok, a, b))
             lm_out = pick(lm3, lm2)
             params_out = pick(params2, params)
-            state = npts.assign_local_to_global(state, lm_out, mc, travel)
+            if self._spatial is None:
+                state = npts.assign_local_to_global(state, lm_out, mc, travel)
+            else:
+                state = self._spatial.writeback(
+                    state, slms, lm_out.attr_rows, lm_out.geo_features,
+                    lm_out.color_features, travel)
             return (state, lm_out, pool, params_out, opt_state, travel,
-                    stop_count, loss_hist)
+                    stop_count, loss_hist, slms)
 
         @partial(jax.jit, donate_argnums=(0, 1, 5), static_argnums=(9, 10))
         def stop_train(state, lm, pool, key, decoders, travel, frame_id,
-                       tran_sel, dec_scale, num_iters, after_pgo):
+                       tran_sel, dec_scale, num_iters, after_pgo, slms=None):
             """Stop-frame program: the robot is stationary, so there are no
             new observations — skip the whole frame_update (no sampling, no
             insert, no pool append) and run a REDUCED number of training
@@ -469,12 +543,17 @@ class SlamSystem:
             lm2 = lm2._replace(
                 geo_features=params2.features[:, : mc.feature_dim],
                 color_features=params2.color_features)
-            state = npts.assign_local_to_global(state, lm2, mc, travel)
+            if self._spatial is None:
+                state = npts.assign_local_to_global(state, lm2, mc, travel)
+            else:
+                state = self._spatial.writeback(
+                    state, slms, lm2.attr_rows, lm2.geo_features,
+                    lm2.color_features, travel)
             return state, lm2, params2, opt_state, travel, loss_hist
 
         @partial(jax.jit, donate_argnums=(0,), static_argnums=(7,))
         def extra_train(state, lm, pool, params, opt_state, key, dec_scale,
-                        after_pgo, travel):
+                        after_pgo, travel, slms=None):
             """One extra chunk of ``cfg.iters`` training iterations threading
             the Adam state — the frame-0 boost (ref pin_slam.py:244-248)."""
             lm2, params2, opt2, hist = train_loop(int(cfg.iters), after_pgo)(
@@ -482,7 +561,12 @@ class SlamSystem:
             lm2 = lm2._replace(
                 geo_features=params2.features[:, : mc.feature_dim],
                 color_features=params2.color_features)
-            state = npts.assign_local_to_global(state, lm2, mc, travel)
+            if self._spatial is None:
+                state = npts.assign_local_to_global(state, lm2, mc, travel)
+            else:
+                state = self._spatial.writeback(
+                    state, slms, lm2.attr_rows, lm2.geo_features,
+                    lm2.color_features, travel)
             return state, lm2, params2, opt2, hist
 
         self._odometry = odometry
@@ -654,10 +738,11 @@ class SlamSystem:
                 self.state, self.lm, self.pool, k_frame,
                 (self.geo_params, self.sem_params, self.color_params),
                 self._travel, jnp.int32(self.frame_id), tran_dev,
-                dec_scale, n_it, bool(self.after_pgo))
+                dec_scale, n_it, bool(self.after_pgo), slms=self._slms)
         else:
             (self.state, self.lm, self.pool, params, opt_state,
-             self._travel, self._stop_count, loss_hist) = self._update_and_train(
+             self._travel, self._stop_count, loss_hist,
+             self._slms) = self._update_and_train(
                 self.state, self.lm, self.pool, k_frame,
                 (self.geo_params, self.sem_params, self.color_params), self._travel,
                 self._stop_count, points, valid, R_sel, t_w, ok_dev, tran_dev,
@@ -691,7 +776,8 @@ class SlamSystem:
             (self.state, self.lm, params, opt_state, loss_hist) = \
                 self._extra_train(self.state, self.lm, self.pool, params,
                                   opt_state, jax.random.fold_in(k_train, chunk),
-                                  dec_scale, self.after_pgo, self._travel)
+                                  dec_scale, self.after_pgo, self._travel,
+                                  slms=self._slms)
             if cfg.log_loss_per_frame:
                 loss_last = float(loss_hist[-1])
 
@@ -734,7 +820,9 @@ class SlamSystem:
         # host on the whole frame's device queue; resolved lazily at save time.
         # ``+ 0`` copies it out of the donated state tree (the original buffer
         # is deleted when next frame's update_and_train consumes the state)
-        self.memory_footprint_mb.append(self.state.count + 0)
+        self.memory_footprint_mb.append(
+            self.state.count.sum() if self._spatial is not None
+            else self.state.count + 0)
         self.frame_id += 1
         return info
 
@@ -758,7 +846,8 @@ class SlamSystem:
             self._vis_mesher = Mesher(MesherConfig(
                 mc_res_m=cfg.mc_res_m, mesh_min_nn=cfg.mesh_min_nn,
                 min_cluster_vertices=cfg.min_cluster_vertices,
-                query_bucket=cfg.mesh_query_bucket), self.mc, self.offsets)
+                query_bucket=cfg.mesh_query_bucket), self.mc, self.offsets,
+                dp_mesh=getattr(self, "_dp_mesh", None))
 
         mesh_due = (fid > 0 and cfg.mesh_freq_frame > 0
                     and fid % cfg.mesh_freq_frame == 0) or info.get("pgo_applied")
@@ -785,7 +874,10 @@ class SlamSystem:
                 pio.write_ply(os.path.join(vis_dir, f"mesh_{fid:05d}.ply"),
                               v, colors=c, normals=vertex_normals(v, f), faces=f)
                 self._mesh_cache = (v, f, c)
-            # refreshed interactive viewer with the latest layers
+            # refreshed LIVE viewer: viewer.html polls viewer_data.js, so an
+            # open browser tab follows the run — camera/toggles survive each
+            # refresh (VERDICT r3 next #8; ref live window
+            # utils/visualizer.py:421-526)
             try:
                 from pin_slam_tpu.utils.viewer_html import export_html
 
@@ -793,11 +885,30 @@ class SlamSystem:
                          else self.dataset.odom_poses)
                 traj = (np.stack([p[:3, 3] for p in poses]).astype(np.float32)
                         if len(poses) else None)
+                n_loops = (len([e for e in self.pgm.edges
+                                if abs(e.j - e.i) > 1])
+                           if self.pgm is not None else 0)
+                # sensor CAD glyph drawn at the current pose (ref
+                # sensor_cad_path + utils/visualizer.py sensor model)
+                if not hasattr(self, "_sensor_glyph"):
+                    from pin_slam_tpu.utils import sensor_cad
+
+                    gname = os.path.splitext(os.path.basename(
+                        cfg.sensor_cad_path or ""))[0] or "lidar"
+                    self._sensor_glyph = sensor_cad.glyph(gname)
+                gv, gf = self._sensor_glyph
+                gv_w = (gv @ self.cur_pose[:3, :3].T
+                        + self.cur_pose[:3, 3]).astype(np.float32)
                 export_html(os.path.join(run_path, "viewer.html"),
                             neural_points=np.asarray(self.lm.positions[:count]),
                             mesh_verts=v if v.shape[0] else None,
                             mesh_faces=f if v.shape[0] else None,
-                            mesh_colors=c, trajectory=traj)
+                            mesh_colors=c, trajectory=traj,
+                            sensor_verts=gv_w, sensor_faces=gf,
+                            live=True,
+                            meta={"frame": fid, "rev": fid,
+                                  "map_points": self._map_count(),
+                                  "loops": n_loops})
             except Exception:
                 pass
         if slice_due:
@@ -1035,12 +1146,51 @@ class SlamSystem:
         wandb_log.finish()
         return metrics
 
+    def _map_count(self) -> int:
+        """Total global neural points (spatial-sharding aware: a stacked
+        sharded state carries per-shard counts)."""
+        return int(np.asarray(self.state.count).sum())
+
+    def _densify_sharded_state(self) -> None:
+        """Spatial mode only: gather + compact the sharded global map into a
+        dense single-device MapState (merged mc layout, hash rebuilt) so the
+        finalize/artifact paths below run unchanged."""
+        from pin_slam_tpu.parallel import spatial as psp
+
+        pos, attr, geo, col, rows, count = psp.gather_state_dense(
+            self.state, self._spatial.smc, self._spatial.n_map)
+        mc = self.mc
+        cap = mc.capacity
+        count = min(count, cap)
+        attr_rows = np.broadcast_to(
+            np.asarray(npts._attr_sentinel_row()),
+            (cap + 1, npts.ATTR_DIM)).copy()
+        attr_rows[:count] = attr[:count]
+        geo_rows = np.zeros((cap + 1, mc.feature_dim), np.float32)
+        geo_rows[:count] = geo[:count]
+        col_rows = None
+        if col is not None:
+            col_rows = np.zeros((cap + 1, mc.feature_dim), np.float32)
+            col_rows[:count] = col[:count]
+        dense = npts.MapState(
+            attr_rows=jnp.asarray(attr_rows),
+            geo_features=jnp.asarray(geo_rows),
+            color_features=(jnp.asarray(col_rows)
+                            if col_rows is not None else None),
+            count=jnp.int32(count),
+            hash_table=jnp.full((mc.hash_size + 1,), cap, jnp.int32))
+        self.state = npts.recreate_hash(
+            dense, mc, jnp.int32(max(self.frame_id - 1, 0)),
+            downsample_table_size=self.config.downsample_hash_size)
+
     def save_artifacts(self, run_path: str) -> None:
         """End-of-run artifacts (ref pin_slam.py:352-371): final pose graph,
         map finalization (merge + prune), implicit map, neural-point cloud,
         optional mesh, timing + memory instrumentation."""
         cfg = self.config
         os.makedirs(os.path.join(run_path, "map"), exist_ok=True)
+        if self._spatial is not None and np.asarray(self.state.count).ndim:
+            self._densify_sharded_state()
 
         # final pose graph + loop plot (ref pin_slam.py:355-358)
         if self.pgm is not None and self.pgm.pgo_count > 0:
@@ -1136,7 +1286,8 @@ class SlamSystem:
                     if biggest <= 0.7 * self.mc.local_capacity:
                         break
                     chunk_m /= 2.0
-                mesher = Mesher(mesher_cfg, self.mc, self.offsets)
+                mesher = Mesher(mesher_cfg, self.mc, self.offsets,
+                                dp_mesh=getattr(self, "_dp_mesh", None))
                 all_v, all_f, all_c, all_s, off = [], [], [], [], 0
                 for amin, amax in chunks:
                     center = ((amin + amax) / 2).astype(np.float32)

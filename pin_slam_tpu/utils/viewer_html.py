@@ -3,10 +3,20 @@
 TPU-native equivalent of the reference's Open3D GLFW visualizer
 (reference utils/visualizer.py:25-665).  TPU hosts are headless — there is no
 display to open a GLFW window on — so instead of an interactive process this
-emits ONE self-contained ``viewer.html`` artifact per run: scan / mesh /
-neural-point / trajectory / SDF-slice layers embedded as base64 binary,
-rendered by a hand-written WebGL2 orbit viewer (no CDN fetches, works from
-``file://`` on any machine the artifact is copied to).
+emits a ``viewer.html`` artifact rendered by a hand-written WebGL2 orbit
+viewer (no CDN fetches, works from ``file://`` on any machine).
+
+Two modes:
+
+* **snapshot** (default): ONE self-contained file, layers embedded as base64.
+* **live** (``live=True``): ``viewer.html`` is written once with a poller
+  that re-loads a sidecar ``viewer_data.js`` (written every refresh) via a
+  cache-busted ``<script>`` tag — works from ``file://`` and any static HTTP
+  server.  Camera pose, layer toggles and point size survive each refresh,
+  and a status line shows frame id / map size / loop count, so a running
+  SLAM process can be WATCHED from a browser (VERDICT r3 next #8; the
+  reference equivalent is the live Open3D window's per-frame update loop,
+  utils/visualizer.py:421-526).
 
 Key bindings mirror the reference visualizer's
 (utils/visualizer.py:211-242): M mesh, P neural points, S scan, T trajectory,
@@ -35,7 +45,9 @@ _HTML_TEMPLATE = r"""<!DOCTYPE html>
 <div id="hud"></div><canvas id="gl"></canvas>
 <script>
 "use strict";
-const LAYERS = __LAYERS_JSON__;
+const LIVE = __LIVE__;
+const EMBEDDED = __LAYERS_JSON__;
+const EMBEDDED_META = __META_JSON__;
 
 function decode(b64, dtype) {
   const bin = atob(b64); const n = bin.length;
@@ -65,37 +77,52 @@ const uMVP = gl.getUniformLocation(prog, "mvp");
 const uPS = gl.getUniformLocation(prog, "psize");
 const uA = gl.getUniformLocation(prog, "alpha");
 
-// build GPU buffers per layer
-const scene = {}; const bbox = {lo:[1e9,1e9,1e9], hi:[-1e9,-1e9,-1e9]};
-for (const [name, L] of Object.entries(LAYERS)) {
-  const pos = decode(L.pos, "f32");
-  let col;
-  if (L.col) { const c8 = decode(L.col, "u8");
-    col = new Float32Array(c8.length); for (let i=0;i<c8.length;i++) col[i]=c8[i]/255; }
-  else { col = new Float32Array(pos.length);
-    for (let i=0;i<pos.length;i+=3){ col[i]=L.rgb[0]; col[i+1]=L.rgb[1]; col[i+2]=L.rgb[2]; } }
-  const vao = gl.createVertexArray(); gl.bindVertexArray(vao);
-  const vb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, vb);
-  gl.bufferData(gl.ARRAY_BUFFER, pos, gl.STATIC_DRAW);
-  gl.enableVertexAttribArray(0); gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
-  const cb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, cb);
-  gl.bufferData(gl.ARRAY_BUFFER, col, gl.STATIC_DRAW);
-  gl.enableVertexAttribArray(1); gl.vertexAttribPointer(1,3,gl.FLOAT,false,0,0);
-  let idx = null, nidx = 0;
-  if (L.faces) { const f = decode(L.faces, "u32");
-    idx = gl.createBuffer(); gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, idx);
-    gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, f, gl.STATIC_DRAW); nidx = f.length; }
-  scene[name] = {vao, n:pos.length/3, idx, nidx, mode:L.mode, on:L.on, key:L.key};
-  for (let i=0;i<pos.length;i+=3) for (let a=0;a<3;a++) {
-    if (pos[i+a]<bbox.lo[a]) bbox.lo[a]=pos[i+a];
-    if (pos[i+a]>bbox.hi[a]) bbox.hi[a]=pos[i+a]; }
-}
-const center = [0,1,2].map(a=>(bbox.lo[a]+bbox.hi[a])/2);
-const radius = Math.max(1, Math.hypot(bbox.hi[0]-bbox.lo[0],
-  bbox.hi[1]-bbox.lo[1], bbox.hi[2]-bbox.lo[2]) / 2);
-
-let yaw=0.8, pitch=0.5, dist=radius*2.2, pan=[0,0,0], psize=2.0;
+let scene = {}; let meta = {}; let haveView = false;
+const bbox = {lo:[1e9,1e9,1e9], hi:[-1e9,-1e9,-1e9]};
+let center = [0,0,0], radius = 1;
+let yaw=0.8, pitch=0.5, dist=2.2, pan=[0,0,0], psize=2.0;
 function resetView(){ yaw=0.8; pitch=0.5; dist=radius*2.2; pan=[0,0,0]; }
+
+function freeLayer(s) { if (!s) return;
+  gl.deleteVertexArray(s.vao); gl.deleteBuffer(s.vb); gl.deleteBuffer(s.cb);
+  if (s.idx) gl.deleteBuffer(s.idx); }
+
+function loadScene(LAYERS, META) {
+  // keep user toggles across live refreshes
+  const prevOn = {}; for (const [n,s] of Object.entries(scene)) prevOn[n] = s.on;
+  for (const s of Object.values(scene)) freeLayer(s);
+  scene = {}; meta = META || {};
+  bbox.lo = [1e9,1e9,1e9]; bbox.hi = [-1e9,-1e9,-1e9];
+  for (const [name, L] of Object.entries(LAYERS)) {
+    const pos = decode(L.pos, "f32");
+    let col;
+    if (L.col) { const c8 = decode(L.col, "u8");
+      col = new Float32Array(c8.length); for (let i=0;i<c8.length;i++) col[i]=c8[i]/255; }
+    else { col = new Float32Array(pos.length);
+      for (let i=0;i<pos.length;i+=3){ col[i]=L.rgb[0]; col[i+1]=L.rgb[1]; col[i+2]=L.rgb[2]; } }
+    const vao = gl.createVertexArray(); gl.bindVertexArray(vao);
+    const vb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, vb);
+    gl.bufferData(gl.ARRAY_BUFFER, pos, gl.STATIC_DRAW);
+    gl.enableVertexAttribArray(0); gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
+    const cb = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, cb);
+    gl.bufferData(gl.ARRAY_BUFFER, col, gl.STATIC_DRAW);
+    gl.enableVertexAttribArray(1); gl.vertexAttribPointer(1,3,gl.FLOAT,false,0,0);
+    let idx = null, nidx = 0;
+    if (L.faces) { const f = decode(L.faces, "u32");
+      idx = gl.createBuffer(); gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, idx);
+      gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, f, gl.STATIC_DRAW); nidx = f.length; }
+    const on = name in prevOn ? prevOn[name] : L.on;
+    scene[name] = {vao, vb, cb, n:pos.length/3, idx, nidx, mode:L.mode, on, key:L.key};
+    for (let i=0;i<pos.length;i+=3) for (let a=0;a<3;a++) {
+      if (pos[i+a]<bbox.lo[a]) bbox.lo[a]=pos[i+a];
+      if (pos[i+a]>bbox.hi[a]) bbox.hi[a]=pos[i+a]; }
+  }
+  center = [0,1,2].map(a=>(bbox.lo[a]+bbox.hi[a])/2);
+  radius = Math.max(1, Math.hypot(bbox.hi[0]-bbox.lo[0],
+    bbox.hi[1]-bbox.lo[1], bbox.hi[2]-bbox.lo[2]) / 2);
+  if (!haveView) { resetView(); haveView = true; }   // keep camera when live
+  requestAnimationFrame(draw);
+}
 
 function mat(){ // perspective * lookAt(orbit around center+pan)
   const cx=center[0]+pan[0], cy=center[1]+pan[1], cz=center[2]+pan[2];
@@ -118,7 +145,12 @@ function mul(A,B){ const C=new Float32Array(16);
     for(let k2=0;k2<4;k2++) s+=A[k2*4+j]*B[i*4+k2]; C[i*4+j]=s;} return C; }
 
 function hud(){
-  const rows = Object.entries(scene).map(([n,s]) =>
+  const rows = [];
+  if (LIVE) rows.push(`<b>LIVE</b> frame <b>${meta.frame ?? "?"}</b>` +
+    (meta.map_points !== undefined ? ` · map <b>${meta.map_points.toLocaleString()}</b> pts` : "") +
+    (meta.loops ? ` · loops <b>${meta.loops}</b>` : "") +
+    (meta.stale ? " · <b>stale?</b>" : ""));
+  for (const [n,s] of Object.entries(scene)) rows.push(
     `[${s.key.toUpperCase()}] ${n}: <b>${s.on?"on":"off"}</b> (${s.n.toLocaleString()} pts)`);
   rows.push("[+/-] point size", "[R] reset view", "drag orbit · shift-drag pan · wheel zoom");
   document.getElementById("hud").innerHTML = rows.join("<br>");
@@ -160,7 +192,29 @@ onkeydown = e => { const k = e.key.toLowerCase();
   if (k === "r") resetView();
   requestAnimationFrame(draw); };
 onresize = () => requestAnimationFrame(draw);
-draw();
+
+if (LIVE) {
+  // poll the sidecar via a cache-busted <script> tag: works from file://
+  // (fetch() of local files is blocked in most browsers) and static HTTP.
+  // viewer_data.js calls window.__PIN_DATA(layers, meta); rev guards
+  // redundant GPU re-uploads between run-side refreshes.
+  let lastRev = null, lastOk = Date.now();
+  window.__PIN_DATA = (layers, m) => { lastOk = Date.now();
+    if (m && m.rev === lastRev) { if (meta.stale) { meta.stale = false; hud(); } return; }
+    lastRev = m ? m.rev : null; loadScene(layers, m); };
+  function poll() {
+    const s = document.createElement("script");
+    s.src = "viewer_data.js?t=" + Date.now();
+    s.onload = () => s.remove();
+    s.onerror = () => { s.remove();
+      if (Date.now() - lastOk > 15000) { meta.stale = true; hud(); } };
+    document.body.appendChild(s);
+  }
+  poll(); setInterval(poll, 2000);
+  draw();
+} else {
+  loadScene(EMBEDDED, EMBEDDED_META);
+}
 </script></body></html>
 """
 
@@ -190,23 +244,20 @@ def _point_layer(points: np.ndarray, key: str, on: bool, rgb,
     return layer
 
 
-def export_html(path: str, *,
-                scan: Optional[np.ndarray] = None,
-                neural_points: Optional[np.ndarray] = None,
-                neural_point_colors: Optional[np.ndarray] = None,
-                mesh_verts: Optional[np.ndarray] = None,
-                mesh_faces: Optional[np.ndarray] = None,
-                mesh_colors: Optional[np.ndarray] = None,
-                trajectory: Optional[np.ndarray] = None,
-                sdf_slice_points: Optional[np.ndarray] = None,
-                sdf_slice_colors: Optional[np.ndarray] = None) -> str:
-    """Write the self-contained viewer with whichever layers are given.
-
-    Layer set mirrors the reference visualizer's toggles
+def _build_layers(*, scan=None, neural_points=None, neural_point_colors=None,
+                  mesh_verts=None, mesh_faces=None, mesh_colors=None,
+                  trajectory=None, sdf_slice_points=None,
+                  sdf_slice_colors=None, sensor_verts=None,
+                  sensor_faces=None) -> Dict[str, Dict]:
+    """Layer set mirrors the reference visualizer's toggles
     (utils/visualizer.py:211-242): scan [S], neural points [P], mesh [M],
-    trajectory [T], SDF slice [D].
-    """
+    trajectory [T], SDF slice [D], sensor CAD [C]."""
     layers: Dict[str, Dict] = {}
+    if sensor_verts is not None and sensor_faces is not None and len(sensor_verts):
+        layers["sensor"] = {
+            "pos": _b64(np.asarray(sensor_verts, np.float32)),
+            "faces": _b64(np.asarray(sensor_faces, np.uint32)),
+            "mode": "mesh", "on": True, "key": "c", "rgb": [0.9, 0.55, 0.15]}
     if scan is not None and len(scan):
         layers["scan"] = _point_layer(scan, "s", True, (0.75, 0.75, 0.2))
     if neural_points is not None and len(neural_points):
@@ -233,9 +284,64 @@ def export_html(path: str, *,
         layers["sdf slice"] = _point_layer(
             sdf_slice_points, "d", False, (0.9, 0.4, 0.9),
             colors=sdf_slice_colors)
+    return layers
 
-    html = _HTML_TEMPLATE.replace("__LAYERS_JSON__", json.dumps(layers))
+
+def export_html(path: str, *,
+                scan: Optional[np.ndarray] = None,
+                neural_points: Optional[np.ndarray] = None,
+                neural_point_colors: Optional[np.ndarray] = None,
+                mesh_verts: Optional[np.ndarray] = None,
+                mesh_faces: Optional[np.ndarray] = None,
+                mesh_colors: Optional[np.ndarray] = None,
+                trajectory: Optional[np.ndarray] = None,
+                sdf_slice_points: Optional[np.ndarray] = None,
+                sdf_slice_colors: Optional[np.ndarray] = None,
+                sensor_verts: Optional[np.ndarray] = None,
+                sensor_faces: Optional[np.ndarray] = None,
+                live: bool = False,
+                meta: Optional[Dict] = None) -> str:
+    """Write the viewer with whichever layers are given.
+
+    ``live=False``: one self-contained HTML file (final artifact).
+    ``live=True``: write/refresh the sidecar ``viewer_data.js`` next to
+    ``path`` and create ``path`` itself (the polling shell) only if missing —
+    call once per refresh during a run; an open browser tab follows along.
+    ``meta`` (live): status shown in the HUD, e.g. {"frame": 120,
+    "map_points": 40000, "loops": 2}; a "rev" key is added automatically.
+    """
+    layers = _build_layers(
+        scan=scan, neural_points=neural_points,
+        neural_point_colors=neural_point_colors, mesh_verts=mesh_verts,
+        mesh_faces=mesh_faces, mesh_colors=mesh_colors, trajectory=trajectory,
+        sdf_slice_points=sdf_slice_points, sdf_slice_colors=sdf_slice_colors,
+        sensor_verts=sensor_verts, sensor_faces=sensor_faces)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    if live:
+        meta = dict(meta or {})
+        meta.setdefault("rev", meta.get("frame", 0))
+        data_path = os.path.join(os.path.dirname(path) or ".",
+                                 "viewer_data.js")
+        tmp = data_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("window.__PIN_DATA(%s, %s);"
+                    % (json.dumps(layers), json.dumps(meta)))
+        os.replace(tmp, data_path)         # atomic: the poller never sees a
+        #                                    half-written file
+        if not os.path.exists(path):
+            html = (_HTML_TEMPLATE
+                    .replace("__LIVE__", "true")
+                    .replace("__LAYERS_JSON__", "{}")
+                    .replace("__META_JSON__", "{}"))
+            with open(path, "w") as f:
+                f.write(html)
+        return path
+
+    html = (_HTML_TEMPLATE
+            .replace("__LIVE__", "false")
+            .replace("__LAYERS_JSON__", json.dumps(layers))
+            .replace("__META_JSON__", json.dumps(meta or {})))
     with open(path, "w") as f:
         f.write(html)
     return path

@@ -198,3 +198,46 @@ def test_cached_training_matches_fast_path(rng):
     np.testing.assert_allclose(np.asarray(lm_c.certainties),
                                np.asarray(lm_f.certainties), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_dedup_group_probe_bit_identical(rng):
+    """In-budget voxel-dedup probing returns BIT-IDENTICAL results to the
+    direct per-item probe (same candidate rows, exact distances, same
+    tie-breaking) — dedup_group_probe is row-count dedup, not approximation."""
+    mc, state, lm, offsets, travel = _small_map(rng)
+
+    # heavy duplication: many samples land in the same voxels
+    base = rng.uniform(-4, 4, size=(200, 3)).astype(np.float32)
+    q = np.repeat(base, 6, axis=0) + rng.uniform(
+        -0.05, 0.05, size=(1200, 3)).astype(np.float32)
+    Sn = 5
+    coords = q[:1200 - 1200 % Sn]
+
+    ref = mp.append_knn(lm, mc, offsets, jnp.asarray(coords),
+                        ray_sample_count=Sn, near_count=2)
+    dd = mp.append_knn(lm, mc, offsets, jnp.asarray(coords),
+                       ray_sample_count=Sn, near_count=2,
+                       dedup_far_budget=coords.shape[0],  # ample budget
+                       dedup_near_budget=coords.shape[0] // Sn)
+    for a, b, name in zip(ref, dd, ("gidx", "w", "vec")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_dedup_group_probe_overflow_drops(rng):
+    """Items in groups past the static budget come back all-invalid (dropped
+    supervision — never wrong neighbors)."""
+    mc, state, lm, offsets, travel = _small_map(rng)
+    q = rng.uniform(-5, 5, size=(256, 3)).astype(np.float32)  # ~all unique
+    gidx, pos, valid = mp.dedup_group_probe(
+        lm, mc, offsets, jnp.asarray(q), jnp.asarray(q)[:, None, :], 6,
+        budget=16, n_g=4)
+    g_ref, p_ref, v_ref = mp._probe_rank(lm, mc, offsets, jnp.asarray(q),
+                                         jnp.asarray(q)[:, None, :], 6)
+    dropped = ~np.asarray(valid).any(axis=(1, 2)) & np.asarray(
+        v_ref).any(axis=(1, 2))
+    kept = ~dropped
+    # over-budget items dropped, in-budget items exact
+    assert dropped.sum() > 100
+    np.testing.assert_array_equal(np.asarray(gidx)[kept],
+                                  np.asarray(g_ref)[kept])

@@ -122,7 +122,7 @@ def test_frame_voxel_downsample_in_pipeline(rng):
     pts = np.column_stack([
         np.full(n, 5.0) + rng.normal(0, 0.01, n),
         rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)]).astype(np.float32)
-    state, lm, pool = system._frame_update(
+    state, lm, pool, _ = system._frame_update(
         system.state, system.lm, system.pool, jax.random.PRNGKey(0),
         jnp.asarray(pts), jnp.ones((n,), bool), jnp.eye(3, dtype=jnp.float32),
         jnp.zeros(3, jnp.float32), jnp.int32(0), system._travel, None, None,

@@ -187,3 +187,22 @@ def test_sharded_mapping_loop_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(p_dp.features[:, :8]),
                                np.asarray(p_1.features[:, :8]),
                                rtol=1e-3, atol=2e-5)
+
+
+def test_mesher_grid_query_sharded_matches(setup):
+    """Mesher with dp_mesh: chunked grid queries ride the data axis and
+    reproduce the single-device query exactly (VERDICT r3 next #7)."""
+    mc, lm, geo, offsets, q = setup
+    from pin_slam_tpu.slam.mesher import Mesher, MesherConfig
+
+    mesh = pmesh.make_mesh(8)
+    cfg = MesherConfig(mc_res_m=0.3, mesh_min_nn=6, min_cluster_vertices=0,
+                       query_bucket=512)
+    m_single = Mesher(cfg, mc, offsets)
+    m_dp = Mesher(cfg, mc, offsets, dp_mesh=mesh)
+
+    coords = np.asarray(q[:1000])          # non-multiple of bucket: pad path
+    sdf1, nn1 = m_single.query_sdf_grid(lm, geo, 0.055, coords)
+    sdf2, nn2 = m_dp.query_sdf_grid(lm, geo, 0.055, coords)
+    np.testing.assert_allclose(sdf2, sdf1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(nn2, nn1)
