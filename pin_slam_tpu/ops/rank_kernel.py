@@ -93,8 +93,6 @@ def _rank_kernel(cfg: RankKernelConfig, rows_ref, q_ref, out_ref):
     out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
-_CHUNK = 2048             # rows per pallas call (scoped-vmem budget; 4096
-#                           left only 0.14 MB headroom at some shapes)
 
 
 def probe_rank_pallas(cfg: RankKernelConfig, rows_fm, queries,
@@ -108,7 +106,21 @@ def probe_rank_pallas(cfg: RankKernelConfig, rows_fm, queries,
     # tile so the kernel's VMEM footprint stays flat across block shapes
     tb_max = max(8, 1024 // max(cfg.n, 1) // 8 * 8)
     TB = min(cfg.TB, tb_max, -(-G0 // 8) * 8)
-    CH = min(_CHUNK if cfg.n == 1 else 4 * TB, max(TB, G0))
+    # chunk rows: the scoped-vmem budget constrains the STAGED operands
+    # (every operand/result padded to 128 lanes: rows 5K->256, queries->128,
+    # out->ceil(nk5/128)*128), NOT the per-tile temporaries — so the chunk
+    # can be much larger than the tile.  ~8 MB of staged rows per call;
+    # kitti-profile shapes previously ran 4*TB=1024-row chunks = ~180
+    # serialized kernel launches/frame at ~0.5 ms each (measured 137 ms
+    # append; the launch train, not the math, dominated)
+    pad128 = lambda c: -(-c // 128) * 128
+    staged_row_bytes = (pad128(5 * cfg.K) + pad128(3 * cfg.n)
+                        + pad128(cfg.n * cfg.k * 5)) * 4
+    # 6 MB staged target: the toolchain's true staging overhead measured
+    # ~2x this model at some shapes (a 4096-row n=1 chunk once left only
+    # 0.14 MB of the 16 MB budget)
+    CH = min(max(TB, (6 * 2 ** 20 // staged_row_bytes) // TB * TB),
+             max(TB, G0))
     CH = -(-CH // TB) * TB
     cfg = dataclasses.replace(cfg, TB=TB)
     G = -(-G0 // CH) * CH

@@ -133,7 +133,14 @@ class SlamSystem:
         elif want is False or want == "false":
             self._use_kernel = False
         else:
-            self._use_kernel = supported and jax.default_backend() == "tpu"
+            # auto: the fused kernels win for weighted_first=True (bench
+            # 152.9 -> 140.3 ms), but at the run_kitti weighted_first=False
+            # shapes the XLA autodiff scan measures FASTER end-to-end
+            # (154.8 vs 164.8 ms per 15-iter loop — the per-neighbor
+            # operands inflate the kernel path's fixed staging cost;
+            # PERF.md r4).  Override with tpu: use_pallas_train
+            self._use_kernel = (supported and jax.default_backend() == "tpu"
+                                and self.mc.weighted_first)
         wr = config.use_pallas_rank
         if wr is True or wr == "true":
             self._use_rank_kernel = True
