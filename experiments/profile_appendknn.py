@@ -39,6 +39,7 @@ def main():
     cfg.local_map_capacity = 1 << 17
     cfg.buffer_size = 1 << 22
     cfg.downsample_hash_size = 1 << 19
+    cfg.use_brick_hash = False  # hand-rolled probes assume the legacy per-cell table
     cfg._derive()
     mc = npts.MapConfig.from_config(cfg)
     offsets = jnp.asarray(npts.neighbor_offsets(cfg.num_nei_cells, cfg.search_alpha))

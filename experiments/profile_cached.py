@@ -55,6 +55,7 @@ def main():
     cfg.pool_capacity = 1 << 21
     cfg.downsample_hash_size = 1 << 19
     cfg.frame_bucket = 1 << 15
+    cfg.use_brick_hash = False  # hand-rolled probes assume the legacy per-cell table
     cfg._derive()
     cfg.log_loss_per_frame = False
     system = SlamSystem(cfg)

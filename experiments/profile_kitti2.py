@@ -182,8 +182,10 @@ def main():
     n_rays_f = coord_world.shape[0] // Sn
     n_far = n_rays_f * (Sn - n_surf_tot)
 
+    tmpl = system.append_tmpl    # brick probe template (r5) when enabled
+
     def s_append(i, cw):
-        out = mp.append_knn(lm, mc, offsets, cw + i * 1e-5, Sn,
+        out = mp.append_knn(lm, mc, tmpl, cw + i * 1e-5, Sn,
                             near_count=n_surf_tot,
                             per_neighbor_vecs=not mcfg.weighted_first,
                             use_rank_kernel=system._use_rank_kernel,
@@ -193,7 +195,7 @@ def main():
     timed("append_knn (dedup, wf=False vecs)", s_append, coord_world)
 
     out = jax.jit(lambda cw: mp.append_knn(
-        lm, mc, offsets, cw, Sn, near_count=n_surf_tot,
+        lm, mc, tmpl, cw, Sn, near_count=n_surf_tot,
         per_neighbor_vecs=not mcfg.weighted_first,
         use_rank_kernel=system._use_rank_kernel,
         dedup_far_budget=int(n_far * cfg.probe_dedup_budget)))(coord_world)

@@ -49,6 +49,7 @@ def main():
     cfg.buffer_size = 1 << 21
     cfg.pool_capacity = 1 << 21
     cfg.downsample_hash_size = 1 << 19
+    cfg.use_brick_hash = False  # hand-rolled probes assume the legacy per-cell table
     cfg._derive()
     mc = npts.MapConfig.from_config(cfg)
     mcfg = mp.MapperConfig.from_config(cfg)

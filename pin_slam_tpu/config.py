@@ -271,6 +271,9 @@ class Config:
         self.silence: bool = True
         self.o3d_vis_on: bool = False  # no interactive o3d on TPU hosts; artifact dumps instead
         self.o3d_vis_raw: bool = False
+        # sensor CAD glyph for the viewer (ref utils/config.py sensor_cad_path,
+        # utils/visualizer.py sensor model); "" -> generic lidar glyph
+        self.sensor_cad_path: str = ""
         self.eval_on: bool = False
         self.eval_outlier_thre: float = 0.5
         self.eval_freq_iters: int = 100
@@ -343,6 +346,12 @@ class Config:
         # past the bucket are dropped with their supervision.
         self.mapping_bucket: int = 0
         self.use_probe_dedup = "auto"
+        # brick-packed hash rows (models/neural_points.py MapConfig.brick):
+        # pack the cells of a (2,2,1) brick into one physical hash row so the
+        # append-time K-cell probe gathers ~K/4 rows at identical candidate
+        # sets (integer-exact membership masking; PERF.md r5).  "auto" = on
+        # everywhere; also accepts an explicit [bx,by,bz] list or false
+        self.use_brick_hash = "auto"
         # group budget as a fraction of far samples.  Groups-needed measures
         # 0.38-0.49x items across bench/KITTI/square scenes, but running the
         # budget NEAR the need silently drops free-space supervision on the
@@ -358,7 +367,11 @@ class Config:
         # >1 shards the GLOBAL neural-point SoA + voxel hash over that many
         # devices of a ("data","map") mesh; the bounded local window stays
         # replicated so tracker/training/mesher run unchanged.  v1 requires
-        # pgo_on=False, ba_freq_frame=0 and dp_devices=1
+        # pgo_on=False, ba_freq_frame=0 and dp_devices=1.  Caveat (ADVICE r4
+        # #4): if the
+        # MERGED local window overflows n_map*local_capacity (every shard
+        # simultaneously full), the overflow trim keeps members shard-major
+        # rather than oldest-first as on a single device.
         self.map_shards: int = 1
         # syncing per-frame loss scalars to host costs a device round trip per
         # frame; disable for benchmarking / production runs
@@ -504,7 +517,7 @@ class Config:
             "far_num_nei_cells", "far_search_alpha", "use_pallas_train",
             "train_unroll", "use_pallas_rank", "use_probe_dedup",
             "probe_dedup_budget", "probe_dedup_near_budget", "map_shards",
-            "mapping_bucket")},
+            "mapping_bucket", "use_brick_hash")},
         # ROS node knobs (ref utils/config.py:321-324; the reference reads
         # them as code defaults too, but make them YAML-settable here)
         "ros": {k: k for k in (

@@ -59,13 +59,31 @@ class MapConfig:
     weighted_first: bool = True   # True: blend features then decode once;
     #                               False: decode each neighbor, blend SDFs
     #                               (ref utils/config.py:89, neural_points.py:660-665)
-    local_hash_size: int = 1 << 22  # slots of the per-frame packed local hash
+    local_hash_size: int = 1 << 22  # SUB-CELL slots of the per-frame packed local hash
+    # brick-packed hash rows (r5, PERF.md): pack the (bx,by,bz) cells of a
+    # BRICK into one physical hash row, so the K-cell probe template becomes
+    # a ~K/prod(brick)-row gather at the same per-row cost (TPU row gathers
+    # pay per row, nearly independent of width).  (1,1,1) = legacy per-cell
+    # rows.  Candidate-set semantics are preserved exactly via an integer
+    # parity-indexed membership mask (see make_probe_template).
+    brick: tuple = (1, 1, 1)
     # positional encoding of the offset vector (ref model/neural_points.py:610-611,
     # 706-763; off in every shipped reference profile)
     pos_encoding_band: int = 0
     pos_encoding_freq: float = 200.0
     pos_encoding_base: float = 2.0
     use_gaussian_pe: bool = False
+
+    @property
+    def nsub(self) -> int:
+        """Cells per brick row (1 = legacy per-cell layout)."""
+        bx, by, bz = self.brick
+        return bx * by * bz
+
+    @property
+    def brick_rows(self) -> int:
+        """Physical brick rows of the local hash (sub-cell slots / nsub)."""
+        return self.local_hash_size // self.nsub
 
     @property
     def assign_span(self) -> int:
@@ -83,7 +101,16 @@ class MapConfig:
             # global indices ride f32 value-casts (hash rows, pool kNN cache)
             # — exact only below 2^24
             raise ValueError("map_capacity must be <= 2^24 (f32 value-cast indices)")
+        wb = getattr(cfg, "use_brick_hash", False)
+        if isinstance(wb, (tuple, list)):
+            brick = tuple(int(b) for b in wb)
+        elif wb is True or wb in ("true", "auto"):
+            brick = (2, 2, 1)
+        else:
+            brick = (1, 1, 1)
+        nsub = brick[0] * brick[1] * brick[2]
         return MapConfig(
+            brick=brick,
             capacity=cfg.map_capacity,
             local_capacity=cfg.local_map_capacity,
             hash_size=cfg.buffer_size,
@@ -103,11 +130,14 @@ class MapConfig:
             pos_encoding_base=float(cfg.pos_encoding_base),
             use_gaussian_pe=cfg.use_gaussian_pe,
             # measured on real TPU: random row-gathers run ~2.3x faster while
-            # the table stays under ~16 MB (cache-resident); 2^20 slots x 16 B
+            # the table stays under ~16 MB (cache-resident); 2^20 slots x 32 B
             # sits exactly at that cliff, so the local accel hash is capped
-            # there and never below 8x the point count (collision control)
+            # there and never below 8x the point count (collision control).
+            # Brick rows are 20 B/sub-cell (5 f32) vs 32 B/cell, so the
+            # sub-cell cap can rise to 2^21 before matching the legacy bytes
+            # — KITTI's 2^18-point window then keeps its brick load moderate
             local_hash_size=min(
-                1 << 20,
+                1 << 21 if nsub > 1 else 1 << 20,
                 max(1 << 19, 1 << ((int(cfg.local_map_capacity) - 1).bit_length() + 3))),
         )
 
@@ -123,6 +153,65 @@ def neighbor_offsets(num_nei_cells: int, search_alpha: float) -> np.ndarray:
     return dx[keep].astype(np.int32)
 
 
+class ProbeTemplate(NamedTuple):
+    """Probe-template pytree for the append-time kNN probe (mapper._probe_rank).
+
+    ``cells`` is the classic (K,3) sphere-clipped offset template.  Under the
+    brick hash layout the probe instead gathers ``bricks[parity(q)]`` whole
+    brick rows (Kb ~ K/nsub — the row-count saving) and masks the gathered
+    sub-cells with ``memb[parity(q)]`` so the CANDIDATE SET is exactly the
+    occupants of the hash slots the K template cells address — integer-exact
+    membership, no approximation (PERF.md r5 brick packing)."""
+
+    cells: jax.Array    # (K, 3) i32
+    bricks: jax.Array   # (P, Kb, 3) i32 parity-indexed brick offsets (P=nsub)
+    memb: jax.Array     # (P, Kb*nsub) f32 template-membership of each sub-cell
+
+
+def make_probe_template(mc: MapConfig, num_nei_cells: int,
+                        search_alpha: float) -> ProbeTemplate:
+    """Host-side construction of the parity-indexed brick probe template.
+
+    For a query in cell g with parity p = g mod brick, the bricks containing
+    any template cell are brick(g) + floor((p + t)/brick) over template
+    offsets t — the RELATIVE brick offsets depend only on p, so all P = nsub
+    variants are precomputed.  The sub-cell (o, s) of variant p covers cell
+    offset dx = o*brick + s - p; ``memb`` records whether dx is a template
+    member (all-integer => bit-exact candidate parity with the per-cell
+    probe under the same hash function)."""
+    cells = neighbor_offsets(num_nei_cells, search_alpha)
+    bx, by, bz = mc.brick
+    bvec = np.asarray([bx, by, bz], np.int64)
+    nsub = mc.nsub
+    cell_set = {tuple(c) for c in cells.tolist()}
+    subs = np.stack(np.meshgrid(np.arange(bx), np.arange(by), np.arange(bz),
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    bricks_per_p, memb_per_p = [], []
+    parities = [np.asarray([px, py, pz], np.int64)
+                for px in range(bx) for py in range(by) for pz in range(bz)]
+    kb = 0
+    for p in parities:
+        b = np.unique(np.floor_divide(cells + p, bvec), axis=0).astype(np.int32)
+        bricks_per_p.append(b)
+        kb = max(kb, len(b))
+    far = np.int32(1 << 20)   # padded slots hash somewhere harmless; memb = 0
+    for j, (p, b) in enumerate(zip(parities, bricks_per_p)):
+        m = np.zeros((kb, nsub), np.float32)
+        for i in range(len(b)):
+            for s in range(nsub):
+                dx = b[i] * bvec + subs[s] - p
+                m[i, s] = float(tuple(int(v) for v in dx) in cell_set)
+        bricks_per_p[j] = np.concatenate(
+            [b, np.full((kb - len(b), 3), far, np.int32)])
+        # s-major candidate order (c = s*Kb + kb) to match the probe's
+        # field-major unpack (_brick_gather_fm concatenates per sub-cell)
+        memb_per_p.append(m.T.reshape(-1))
+    return ProbeTemplate(
+        cells=jnp.asarray(cells),
+        bricks=jnp.asarray(np.stack(bricks_per_p)),
+        memb=jnp.asarray(np.stack(memb_per_p)))
+
+
 # Packed per-point attribute row layout (f32).  TPU scatters/gathers pay per
 # ROW, almost independent of row width, so every non-trainable per-point field
 # lives in ONE (…,16) array: a map insert is ONE attribute scatter instead of
@@ -131,7 +220,8 @@ def neighbor_offsets(num_nei_cells: int, search_alpha: float) -> np.ndarray:
 # value-cast f32 (exact below 2^24 frames); travel distances are stored as
 # VALUES at write time so no ``travel_dist[ts]`` mega-gather is ever needed.
 ATTR_DIM = 16
-HASH_ROW_DIM = 8           # local-hash row: [x, y, z, lidx, gidx, pad x3]
+HASH_ROW_DIM = 8           # legacy local-hash row: [x, y, z, lidx, gidx, pad x3]
+BRICK_SUB_DIM = 5          # brick-layout sub-cell row: [x, y, z, lidx, gidx]
 C_POS = slice(0, 3)        # x, y, z
 C_QUAT = slice(3, 7)       # qw, qx, qy, qz
 C_CERT = 7                 # accumulated certainty
@@ -242,33 +332,71 @@ def init_map_state(mc: MapConfig) -> MapState:
     )
 
 
+def subcell_hash(mc: MapConfig, cells: jax.Array) -> jax.Array:
+    """Row index of a CELL coordinate [...,3] in the local hash table.
+
+    Legacy layout (brick (1,1,1)): plain spatial hash over sub-cell slots.
+    Brick layout: hash the cell's brick, then its in-brick sub-cell index —
+    ``hash(brick) * nsub + linear(sub)``.  Both return indices into
+    ``lm.hash_rows``'s row axis (flat sub-cell rows)."""
+    if mc.nsub == 1:
+        return spatial_hash(cells, mc.local_hash_size)
+    bx, by, bz = mc.brick
+    bvec = jnp.asarray([bx, by, bz], jnp.int32)
+    bco = jnp.floor_divide(cells, bvec)
+    sub = cells - bco * bvec
+    s = sub[..., 0] * (by * bz) + sub[..., 1] * bz + sub[..., 2]
+    return spatial_hash(bco, mc.brick_rows) * mc.nsub + s
+
+
 def _pack_hash_rows(mc: MapConfig, positions: jax.Array, count: jax.Array,
                     indices: Optional[jax.Array] = None) -> jax.Array:
     """Build the packed per-frame local hash:
-    slot -> [x, y, z, lidx, gidx, 0, 0, 0] (8 f32; TPU gathers pay per ROW,
+    slot -> [x, y, z, lidx, gidx, ...] (f32; TPU gathers pay per ROW,
     so the extra global-index payload is free — it saves the mapping append
     path a (B*k,) local->global remap gather).
+
+    Legacy layout: (local_hash_size+1, 8) rows, one CELL per row.
+    Brick layout (mc.brick != (1,1,1)): ((brick_rows+1)*nsub, 5) flat
+    SUB-CELL rows; a probe gathers whole bricks as (brick_rows+1, nsub*5)
+    reshaped views (nsub cells per physical row — the row-count saving), and
+    per-cell consumers (tracker/mesher/certainty) address single sub-cell
+    rows via ``subcell_hash``.
 
     The index payloads are VALUE-cast to f32 (exact for < 2^24), NOT bitcast:
     int32 bit patterns of small indices are denormal floats and TPUs flush
     denormals to zero anywhere the value crosses the VPU — a bitcast payload
     silently reads back as index 0 on real hardware (CPU preserves the bits,
     which is exactly the kind of bug fake-device tests cannot catch)."""
-    L, Hl = mc.local_capacity, mc.local_hash_size
+    L = mc.local_capacity
     lidx = jnp.arange(L + 1, dtype=jnp.int32)
     active = lidx < count
-    h = spatial_hash(grid_coords(positions, mc.voxel_size), Hl)
-    slot = jnp.where(active, h, Hl)                      # pads go to the dump slot
+    cells = grid_coords(positions, mc.voxel_size)
     gidx = (indices if indices is not None
             else jnp.full((L + 1,), mc.capacity, jnp.int32))
+    if mc.nsub == 1:
+        Hl = mc.local_hash_size
+        slot = jnp.where(active, subcell_hash(mc, cells), Hl)  # pads -> dump
+        rows = jnp.concatenate(
+            [positions, lidx.astype(jnp.float32)[:, None],
+             gidx.astype(jnp.float32)[:, None],
+             jnp.zeros((L + 1, 3), jnp.float32)], axis=1)
+        sentinel_row = jnp.concatenate(
+            [jnp.full((3,), _SENTINEL_POS, jnp.float32),
+             jnp.asarray([L, mc.capacity, 0.0, 0.0, 0.0], jnp.float32)])
+        table = jnp.broadcast_to(sentinel_row, (Hl + 1, HASH_ROW_DIM))
+        return table.at[slot].set(rows)
+    nsub, Hb = mc.nsub, mc.brick_rows
+    # pads go to the dump BRICK's first sub-cell row (bricks Hb.. are never
+    # gathered: probe hashes land in [0, Hb))
+    slot = jnp.where(active, subcell_hash(mc, cells), Hb * nsub)
     rows = jnp.concatenate(
         [positions, lidx.astype(jnp.float32)[:, None],
-         gidx.astype(jnp.float32)[:, None],
-         jnp.zeros((L + 1, 3), jnp.float32)], axis=1)
+         gidx.astype(jnp.float32)[:, None]], axis=1)
     sentinel_row = jnp.concatenate(
         [jnp.full((3,), _SENTINEL_POS, jnp.float32),
-         jnp.asarray([L, mc.capacity, 0.0, 0.0, 0.0], jnp.float32)])
-    table = jnp.broadcast_to(sentinel_row, (Hl + 1, HASH_ROW_DIM))
+         jnp.asarray([L, mc.capacity], jnp.float32)])
+    table = jnp.broadcast_to(sentinel_row, ((Hb + 1) * nsub, BRICK_SUB_DIM))
     return table.at[slot].set(rows)
 
 
@@ -640,8 +768,8 @@ def knn_search(lm: LocalMap, mc: MapConfig, points: jax.Array,
 
     grid = grid_coords(points, mc.voxel_size)                  # (B,3)
     cells = grid[:, None, :] + offsets[None, :, :]             # (B,K,3)
-    h = spatial_hash(cells, mc.local_hash_size)                # (B,K)
-    rows = lm.hash_rows[h]                                     # (B,K,4) one gather
+    h = subcell_hash(mc, cells)                                # (B,K)
+    rows = lm.hash_rows[h]                                     # (B,K,·) one gather
     nbr = rows[..., :3]
     lidx = rows[..., 3].astype(jnp.int32)   # value-cast payload (see _pack_hash_rows)
 
@@ -760,8 +888,8 @@ def query_certainty(lm: LocalMap, mc: MapConfig, points: jax.Array) -> jax.Array
     certainty column (the full knn_search + 64-byte attr-row gather measured
     ~10 ms at frame shapes; this is ~4 ms)."""
     L = mc.local_capacity
-    h = spatial_hash(grid_coords(points, mc.voxel_size), mc.local_hash_size)
-    rows = lm.hash_rows[h]                                  # (B, 8) one gather
+    h = subcell_hash(mc, grid_coords(points, mc.voxel_size))
+    rows = lm.hash_rows[h]                                  # (B, ·) one gather
     nbr = rows[:, :3]
     lidx = rows[:, 3].astype(jnp.int32)
     d = nbr - points

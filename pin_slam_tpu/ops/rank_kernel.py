@@ -58,6 +58,7 @@ def _rank_kernel(cfg: RankKernelConfig, rows_ref, q_ref, out_ref):
     K, k, n = cfg.K, cfg.k, cfg.n
     rows = rows_ref[...]                       # (TB, 5K) field-major
     q = q_ref[...]                             # (TB, 3n)
+    out_cols = out_ref.shape[1]
     xs = rows[:, 0 * K:1 * K]
     ys = rows[:, 1 * K:2 * K]
     zs = rows[:, 2 * K:3 * K]
@@ -90,6 +91,12 @@ def _rank_kernel(cfg: RankKernelConfig, rows_ref, q_ref, out_ref):
             # exhausted ball must re-pick untouched INVALID columns, never a
             # previously selected valid one
             d2m = jnp.where(jm, jnp.float32(3e38), d2m)
+    pad = out_cols - n * k * 5
+    if pad:
+        # the output block ALIASES the rows operand (same (TB, 5K) shape) so
+        # the toolchain's full-operand scoped-vmem staging is shared — the
+        # separate out staging disappears and the row chunk can grow
+        outs.append(jnp.zeros((cfg.TB, pad), jnp.float32))
     out_ref[...] = jnp.concatenate(outs, axis=1)
 
 
@@ -113,9 +120,16 @@ def probe_rank_pallas(cfg: RankKernelConfig, rows_fm, queries,
     # kitti-profile shapes previously ran 4*TB=1024-row chunks = ~180
     # serialized kernel launches/frame at ~0.5 ms each (measured 137 ms
     # append; the launch train, not the math, dominated)
+    cols0 = cfg.n * cfg.k * 5
+    # alias the output into the rows operand when it fits (same (CH, 5K)
+    # block): the toolchain stages FULL operands in scoped vmem, so sharing
+    # the buffer both removes the output's staging AND lets the chunk grow —
+    # fewer serialized kernel launches (measured ~0.35 ms/launch, the
+    # dominant term of the kitti append at r4 chunk sizes)
+    alias = 5 * cfg.K >= cols0
     pad128 = lambda c: -(-c // 128) * 128
     staged_row_bytes = (pad128(5 * cfg.K) + pad128(3 * cfg.n)
-                        + pad128(cfg.n * cfg.k * 5)) * 4
+                        + (0 if alias else pad128(cols0))) * 4
     # 6 MB staged target: the toolchain's true staging overhead measured
     # ~2x this model at some shapes (a 4096-row n=1 chunk once left only
     # 0.14 MB of the 16 MB budget)
@@ -133,7 +147,7 @@ def probe_rank_pallas(cfg: RankKernelConfig, rows_fm, queries,
             [queries, jnp.zeros((G - G0, queries.shape[1]), jnp.float32)], 0)
 
     cfg = dataclasses.replace(cfg, G=CH)
-    cols = cfg.n * cfg.k * 5
+    cols = 5 * cfg.K if alias else cols0
     call = pl.pallas_call(
         functools.partial(_rank_kernel, cfg),
         grid_spec=pl.GridSpec(
@@ -148,6 +162,7 @@ def probe_rank_pallas(cfg: RankKernelConfig, rows_fm, queries,
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((CH, cols), jnp.float32),
+        input_output_aliases={0: 0} if alias else {},
         interpret=interpret,
     )
     # lax.scan serializes the chunk calls: scheduled concurrently, their
@@ -164,7 +179,7 @@ def probe_rank_pallas(cfg: RankKernelConfig, rows_fm, queries,
             (rows_fm.reshape(n_ch, CH, -1), queries.reshape(n_ch, CH, -1)))
         out = out.reshape(G, -1)
 
-    out = out[:G0].reshape(G0, cfg.n, cfg.k, 5)
+    out = out[:G0, :cols0].reshape(G0, cfg.n, cfg.k, 5)
     gidx = jnp.round(out[..., 0]).astype(jnp.int32)
     pos = out[..., 1:4]
     valid = out[..., 4] > 0.5

@@ -78,6 +78,32 @@ class TrainKernelConfig:
         return self.F + self.VD
 
 
+def _block_diag_decoder(k, W1, b1, W2):
+    """(kron(I_k, W1), tile(b1, k) as (1, k*H), kron(I_k, W2) (k*H, k)) — the
+    block-diagonal decoder that turns k per-neighbor decodes into one
+    full-depth MXU matmul pair inside the wf=False kernels (r5)."""
+    eye = jnp.eye(k, dtype=jnp.float32)
+    W1blk = jnp.kron(eye, W1)                       # (k*in, k*H)
+    b1t = jnp.tile(b1[None, :], (1, k))             # (1, k*H)
+    W2blk = jnp.kron(eye, W2)                       # (k*H, k)
+    return W1blk, b1t, W2blk
+
+
+def _extract_blk_grads(cfg, G, M2):
+    """XLA-side diagonal-block extraction of the wf=False kernels' RAW grad
+    matmuls: G (k*in+1, k*H) = [xc|1]^T dhc, M2 (8, k*H+1) = [dO|pw|0]^T [hc|1].
+
+    Returns (loss (), dW1 (in,H), db1 (H,), dW2 (H,1), db2 ())."""
+    ind, H, k = cfg.in_dim, cfg.H, cfg.k
+    dW1 = sum(G[kk * ind:(kk + 1) * ind, kk * H:(kk + 1) * H]
+              for kk in range(k))
+    db1 = sum(G[k * ind, kk * H:(kk + 1) * H] for kk in range(k))
+    dW2 = sum(M2[kk, kk * H:(kk + 1) * H] for kk in range(k))[:, None]
+    db2 = sum(M2[kk, k * H] for kk in range(k))
+    loss = M2[k, k * H]
+    return loss, dW1, db1, dW2, db2
+
+
 def _mlp_fwd(x, W1, b1, W2, b2):
     """x (N,in) -> (h (N,H), o (N,1)); strictly 2-D."""
     h = jnp.maximum(jnp.dot(x, W1, preferred_element_type=jnp.float32) + b1,
@@ -121,8 +147,13 @@ def _train_iter_kernel(cfg: TrainKernelConfig, *refs):
     8.4 MB as a (16384, 128) one), and the dfeats output ALIASES the packed
     input so the stage is shared — without this the fused frame program blows
     the 16 MB scoped-vmem limit (measured: 23.08 MB requested)."""
-    (packed_ref, W1_ref, b1_ref, W2_ref, b2_ref,
-     dfeats_ref, g1_ref, g2_ref) = refs
+    if cfg.weighted_first:
+        (packed_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+         dfeats_ref, g1_ref, g2_ref) = refs
+    else:
+        (packed_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+         W1blk_ref, b1t_ref, W2blk_ref,
+         dfeats_ref, g1_ref, g2_ref) = refs
 
     i = pl.program_id(0)
     F, k, VD = cfg.F, cfg.k, cfg.VD
@@ -152,32 +183,46 @@ def _train_iter_kernel(cfg: TrainKernelConfig, *refs):
         dgf = dx[:, :F]
         dfe_cols = [w[:, kk:kk + 1] * dgf for kk in range(k)]
     else:
+        # per-neighbor decode via ONE block-diagonal matmul pair (r5): the k
+        # separate (TB, in)x(in, H) decodes waste the 128-wide MXU on an
+        # 11-deep contraction and pay k pipeline fills; concatenating the k
+        # inputs and multiplying by kron(I_k, W1) does all k decodes in one
+        # full-depth pass (k^2x the FLOPs of the small matmuls, but FLOPs are
+        # free here — launch/fill dominated).  W1blk/W2blk arrive precomputed
+        # from XLA (cheap kron of the 11x64 decoder).
         nvec = vec_in
-        hs, os_, xs_ = [], [], []
-        for kk in range(k):
-            xk = jnp.concatenate(
-                [feats[:, kk * C:kk * C + F],
-                 nvec[:, kk * VD:(kk + 1) * VD]], 1)
-            hk, ok = _mlp_fwd(xk, W1, b1, W2, b2)
-            xs_.append(xk)
-            hs.append(hk)
-            os_.append(ok)
-        pred = jnp.zeros((cfg.TB, 1), jnp.float32)
-        for kk in range(k):
-            pred = pred + w[:, kk:kk + 1] * os_[kk]
+        W1blk, b1t, W2blk = W1blk_ref[...], b1t_ref[...], W2blk_ref[...]
+        xc = jnp.concatenate(
+            [jnp.concatenate([feats[:, kk * C:kk * C + F],
+                              nvec[:, kk * VD:(kk + 1) * VD]], 1)
+             for kk in range(k)], 1)                            # (TB, k*in)
+        hc = jnp.maximum(
+            jnp.dot(xc, W1blk, preferred_element_type=jnp.float32) + b1t, 0.0)
+        os_all = jnp.dot(hc, W2blk,
+                         preferred_element_type=jnp.float32) + b2  # (TB, k)
+        pred = jnp.sum(w * os_all, axis=1, keepdims=True)
         pw, dpred = _bce(pred * cfg.scale, label, wt, 1.0 / cfg.sigma)
-        g1 = jnp.zeros((cfg.in_dim + 1, cfg.H), jnp.float32)
-        g2 = jnp.zeros((8, cfg.H + 1), jnp.float32)
-        dfe_cols = []
-        for kk in range(k):
-            do_k = dpred * cfg.scale * w[:, kk:kk + 1]
-            dh_k = jnp.dot(do_k, W2.T, preferred_element_type=jnp.float32)
-            dh_k = jnp.where(hs[kk] > 0.0, dh_k, 0.0)
-            dx_k = jnp.dot(dh_k, W1.T, preferred_element_type=jnp.float32)
-            g1k, g2k = _grad_mats(xs_[kk], dh_k, do_k, hs[kk],
-                                  pw if kk == 0 else jnp.zeros_like(pw))
-            g1, g2 = g1 + g1k, g2 + g2k
-            dfe_cols.append(dx_k[:, :F])
+        dO = dpred * cfg.scale * w                              # (TB, k)
+        dhc = jnp.dot(dO, W2blk.T, preferred_element_type=jnp.float32)
+        dhc = jnp.where(hc > 0.0, dhc, 0.0)                     # (TB, k*H)
+        N = xc.shape[0]
+        ones = jnp.ones((N, 1), jnp.float32)
+        # g1/g2 are the RAW grad matmuls — all k diagonal blocks of dW1/dW2
+        # ride out to XLA, which does the (mis)aligned block extraction;
+        # in-kernel slicing at odd offsets makes Mosaic's layout-padded
+        # concatenate crash (verified on v5e: a (1,1) slice at vpad {6,64})
+        g1 = jnp.dot(jnp.concatenate([xc, ones], 1).T, dhc,
+                     preferred_element_type=jnp.float32)        # (k*in+1, k*H)
+        P = jnp.concatenate([dO, pw, jnp.zeros((N, 8 - k - 1), jnp.float32)],
+                            1)                                  # (TB, 8)
+        g2 = jnp.dot(P.T, jnp.concatenate([hc, ones], 1),
+                     preferred_element_type=jnp.float32)        # (8, k*H+1)
+        # aligned per-k backward to the feature rows: slice dhc at H-aligned
+        # offsets and contract with the SMALL decoder (64-deep — better MXU
+        # utilization than the 11-deep fused alternative)
+        dfe_cols = [jnp.dot(dhc[:, kk * cfg.H:(kk + 1) * cfg.H], W1.T,
+                            preferred_element_type=jnp.float32)[:, :F]
+                    for kk in range(k)]
 
     # assemble [dgrad_k (F cols), certainty col = w_k] per neighbor; the
     # certainty column is d(loss + sum w*f_cert)/d f_cert = w.  The output
@@ -226,23 +271,36 @@ def fused_train_iter(cfg: TrainKernelConfig, feats, w, vec_or_nvec, label, wt,
     def full_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    in_specs = [
+        row_spec(P),
+        full_spec((cfg.in_dim, cfg.H)), full_spec((1, cfg.H)),
+        full_spec((cfg.H, 1)), full_spec((1, 1)),
+    ]
+    operands = [packed, W1, b1[None, :], W2, jnp.full((1, 1), b2, jnp.float32)]
+    if not cfg.weighted_first:
+        # block-diagonal decoder for the one-matmul per-neighbor decode
+        # (kron of the tiny decoder — trivial XLA work per iteration)
+        blk = _block_diag_decoder(cfg.k, W1, b1, W2)
+        in_specs += [full_spec(blk[0].shape), full_spec(blk[1].shape),
+                     full_spec(blk[2].shape)]
+        operands += list(blk)
+    g1_shape = ((cfg.in_dim + 1, cfg.H) if cfg.weighted_first
+                else (cfg.k * cfg.in_dim + 1, cfg.k * cfg.H))
+    g2_shape = ((8, cfg.H + 1) if cfg.weighted_first
+                else (8, cfg.k * cfg.H + 1))
     grid_spec = pl.GridSpec(
         grid=(cfg.tiles,),
-        in_specs=[
-            row_spec(P),
-            full_spec((cfg.in_dim, cfg.H)), full_spec((1, cfg.H)),
-            full_spec((cfg.H, 1)), full_spec((1, 1)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             row_spec(P),
-            full_spec((cfg.in_dim + 1, cfg.H)),
-            full_spec((8, cfg.H + 1)),
+            full_spec(g1_shape),
+            full_spec(g2_shape),
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((cfg.B, P), jnp.float32),
-        jax.ShapeDtypeStruct((cfg.in_dim + 1, cfg.H), jnp.float32),
-        jax.ShapeDtypeStruct((8, cfg.H + 1), jnp.float32),
+        jax.ShapeDtypeStruct(g1_shape, jnp.float32),
+        jax.ShapeDtypeStruct(g2_shape, jnp.float32),
     ]
     dfeats, g1, g2 = pl.pallas_call(
         functools.partial(_train_iter_kernel, cfg),
@@ -250,9 +308,12 @@ def fused_train_iter(cfg: TrainKernelConfig, feats, w, vec_or_nvec, label, wt,
         out_shape=out_shape,
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(packed, W1, b1[None, :], W2, jnp.full((1, 1), b2, jnp.float32))
-    return (g2[1, cfg.H], dfeats[:, :kc], g1[:cfg.in_dim], g1[cfg.in_dim],
-            g2[0, :cfg.H][:, None], g2[0, cfg.H])
+    )(*operands)
+    if cfg.weighted_first:
+        return (g2[1, cfg.H], dfeats[:, :kc], g1[:cfg.in_dim], g1[cfg.in_dim],
+                g2[0, :cfg.H][:, None], g2[0, cfg.H])
+    loss, dW1, db1, dW2, db2 = _extract_blk_grads(cfg, g1, g2)
+    return (loss, dfeats[:, :kc], dW1, db1, dW2, db2)
 
 
 # ----------------------------------------------------------------------
@@ -289,8 +350,14 @@ def _eik_kernel(cfg: EikKernelConfig, *refs):
     per stencil direction.  Tiling over base rows keeps the kernel's VMEM
     footprint bounded (the monolithic version requested 45 MB of scoped
     vmem from the 6 saved activation sets)."""
-    (base_ref, st_ref, W1_ref, b1_ref, W2_ref, b2_ref,
-     dfeats_ref, g1_ref, g2_ref) = refs
+    if cfg.weighted_first:
+        (base_ref, st_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+         dfeats_ref, g1_ref, g2_ref) = refs
+    else:
+        (base_ref, st_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+         W1blk_ref, b1t_ref, W2blk_ref,
+         dfeats_ref, g1_ref, g2_ref) = refs
+        W1blk, b1t, W2blk = W1blk_ref[...], b1t_ref[...], W2blk_ref[...]
 
     i = pl.program_id(0)
     n, F, k, VD = cfg.TN, cfg.F, cfg.k, cfg.VD
@@ -316,21 +383,20 @@ def _eik_kernel(cfg: EikKernelConfig, *refs):
             sdf_st.append(oj * cfg.scale)
             saved.append((xj, hj))
         else:
-            hs, os_, xs_ = [], [], []
+            # block-diagonal per-neighbor decode (see _train_iter_kernel r5)
             nvst_j = st3[j, :, k:k + vd_cols]
-            for kk in range(k):
-                xk = jnp.concatenate(
-                    [feats[:, kk * C:kk * C + F],
-                     nvst_j[:, kk * VD:(kk + 1) * VD]], 1)
-                hk, ok = _mlp_fwd(xk, W1, b1, W2, b2)
-                xs_.append(xk)
-                hs.append(hk)
-                os_.append(ok)
-            pj = jnp.zeros((n, 1), jnp.float32)
-            for kk in range(k):
-                pj = pj + wst_j[:, kk:kk + 1] * os_[kk]
+            xc = jnp.concatenate(
+                [jnp.concatenate([feats[:, kk * C:kk * C + F],
+                                  nvst_j[:, kk * VD:(kk + 1) * VD]], 1)
+                 for kk in range(k)], 1)                      # (n, k*in)
+            hc = jnp.maximum(
+                jnp.dot(xc, W1blk, preferred_element_type=jnp.float32)
+                + b1t, 0.0)
+            o_all = jnp.dot(hc, W2blk,
+                            preferred_element_type=jnp.float32) + b2  # (n,k)
+            pj = jnp.sum(wst_j * o_all, axis=1, keepdims=True)
             sdf_st.append(pj * cfg.scale)
-            saved.append((xs_, hs))
+            saved.append((xc, hc))
 
     inv2e = 1.0 / (2.0 * cfg.step)
     gx = (sdf_st[0] - sdf_st[3]) * inv2e
@@ -343,8 +409,13 @@ def _eik_kernel(cfg: EikKernelConfig, *refs):
     dg = dnorm * inv2e
     dsdf = [dg * gx, dg * gy, dg * gz, -dg * gx, -dg * gy, -dg * gz]
 
-    g1 = jnp.zeros((cfg.in_dim + 1, cfg.H), jnp.float32)
-    g2 = jnp.zeros((8, cfg.H + 1), jnp.float32)
+    if cfg.weighted_first:
+        g1 = jnp.zeros((cfg.in_dim + 1, cfg.H), jnp.float32)
+        g2 = jnp.zeros((8, cfg.H + 1), jnp.float32)
+    else:
+        # RAW block-grad accumulators (extracted in XLA; see _extract_blk_grads)
+        g1 = jnp.zeros((k * cfg.in_dim + 1, k * cfg.H), jnp.float32)
+        g2 = jnp.zeros((8, k * cfg.H + 1), jnp.float32)
     dfb = [jnp.zeros((n, F), jnp.float32) for _ in range(k)]
     for j in range(6):
         wst_j = st3[j, :, :k]
@@ -361,17 +432,21 @@ def _eik_kernel(cfg: EikKernelConfig, *refs):
             for kk in range(k):
                 dfb[kk] = dfb[kk] + wst_j[:, kk:kk + 1] * dstf
         else:
-            xs_, hs = saved[j]
+            xc, hc = saved[j]
+            dO = dsdf[j] * cfg.scale * wst_j                   # (n, k)
+            dhc = jnp.dot(dO, W2blk.T, preferred_element_type=jnp.float32)
+            dhc = jnp.where(hc > 0.0, dhc, 0.0)
+            ones = jnp.ones((n, 1), jnp.float32)
+            g1 = g1 + jnp.dot(jnp.concatenate([xc, ones], 1).T, dhc,
+                              preferred_element_type=jnp.float32)
+            P = jnp.concatenate(
+                [dO, pw_j, jnp.zeros((n, 8 - k - 1), jnp.float32)], 1)
+            g2 = g2 + jnp.dot(P.T, jnp.concatenate([hc, ones], 1),
+                              preferred_element_type=jnp.float32)
             for kk in range(k):
-                do_k = dsdf[j] * cfg.scale * wst_j[:, kk:kk + 1]
-                dh_k = jnp.dot(do_k, W2.T, preferred_element_type=jnp.float32)
-                dh_k = jnp.where(hs[kk] > 0.0, dh_k, 0.0)
-                dx_k = jnp.dot(dh_k, W1.T, preferred_element_type=jnp.float32)
-                g1k, g2k = _grad_mats(
-                    xs_[kk], dh_k, do_k, hs[kk],
-                    pw_j if kk == 0 else jnp.zeros_like(pw))
-                g1, g2 = g1 + g1k, g2 + g2k
-                dfb[kk] = dfb[kk] + dx_k[:, :F]
+                dfb[kk] = dfb[kk] + jnp.dot(
+                    dhc[:, kk * cfg.H:(kk + 1) * cfg.H], W1.T,
+                    preferred_element_type=jnp.float32)[:, :F]
 
     # certainty columns: the 6 stencil replicas' weight sums, pre-reduced
     wsum = jnp.zeros((n, k), jnp.float32)
@@ -437,27 +512,39 @@ def fused_eikonal_iter(cfg: EikKernelConfig, feats, wst, vst_or_nvst, esc,
     def full_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    in_specs = [
+        pl.BlockSpec((TN, kc + 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, TN, sd), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        full_spec((cfg.in_dim, cfg.H)), full_spec((1, cfg.H)),
+        full_spec((cfg.H, 1)), full_spec((1, 1)),
+    ]
+    operands = [base, st, W1, b1[None, :], W2,
+                jnp.full((1, 1), b2, jnp.float32)]
+    if not cfg.weighted_first:
+        blk = _block_diag_decoder(cfg.k, W1, b1, W2)
+        in_specs += [full_spec(blk[0].shape), full_spec(blk[1].shape),
+                     full_spec(blk[2].shape)]
+        operands += list(blk)
+    g1_shape = ((cfg.in_dim + 1, cfg.H) if cfg.weighted_first
+                else (cfg.k * cfg.in_dim + 1, cfg.k * cfg.H))
+    g2_shape = ((8, cfg.H + 1) if cfg.weighted_first
+                else (8, cfg.k * cfg.H + 1))
     grid_spec = pl.GridSpec(
         grid=(tiles,),
-        in_specs=[
-            pl.BlockSpec((TN, kc + 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, TN, sd), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            full_spec((cfg.in_dim, cfg.H)), full_spec((1, cfg.H)),
-            full_spec((cfg.H, 1)), full_spec((1, 1)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TN, kc + 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            full_spec((cfg.in_dim + 1, cfg.H)),
-            full_spec((8, cfg.H + 1)),
+            full_spec(g1_shape),
+            full_spec(g2_shape),
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((n, kc + 1), jnp.float32),
-        jax.ShapeDtypeStruct((cfg.in_dim + 1, cfg.H), jnp.float32),
-        jax.ShapeDtypeStruct((8, cfg.H + 1), jnp.float32),
+        jax.ShapeDtypeStruct(g1_shape, jnp.float32),
+        jax.ShapeDtypeStruct(g2_shape, jnp.float32),
     ]
     dfeats, g1, g2 = pl.pallas_call(
         functools.partial(_eik_kernel, cfg),
@@ -465,6 +552,9 @@ def fused_eikonal_iter(cfg: EikKernelConfig, feats, wst, vst_or_nvst, esc,
         out_shape=out_shape,
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(base, st, W1, b1[None, :], W2, jnp.full((1, 1), b2, jnp.float32))
-    return (g2[1, cfg.H], dfeats[:feats.shape[0], :kc], g1[:cfg.in_dim],
-            g1[cfg.in_dim], g2[0, :cfg.H][:, None], g2[0, cfg.H])
+    )(*operands)
+    if cfg.weighted_first:
+        return (g2[1, cfg.H], dfeats[:feats.shape[0], :kc], g1[:cfg.in_dim],
+                g1[cfg.in_dim], g2[0, :cfg.H][:, None], g2[0, cfg.H])
+    loss, dW1, db1, dW2, db2 = _extract_blk_grads(cfg, g1, g2)
+    return (loss, dfeats[:feats.shape[0], :kc], dW1, db1, dW2, db2)

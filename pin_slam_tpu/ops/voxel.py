@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
 
 _VAL_BITS = 10  # quantization levels for the per-voxel score
 _IDX_BITS = 20  # supports up to 2^20 points per call
-_SENTINEL = jnp.int32(2**30)
+_SENTINEL = np.int32(2**30)  # plain numpy: a module-level jnp constant would
+#                              initialize the XLA backend at import time,
+#                              breaking jax.distributed.initialize() ordering
 
 
 def _scatter_argmin_mask(key: jax.Array, score_q: jax.Array, valid: jax.Array, table_size: int) -> jax.Array:

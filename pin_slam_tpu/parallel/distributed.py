@@ -81,14 +81,21 @@ def make_global_mesh(n_devices: Optional[int] = None) -> Mesh:
 
     n_proc = jax.process_count()
     if n_proc > 1:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        per_host = len(jax.local_devices())
-        # (hosts, devices-per-host) hybrid mesh -> flatten host-major
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, per_host), dcn_mesh_shape=(n_proc, 1),
-            devices=jax.devices())
-        flat = devices.reshape(-1)
+            per_host = len(jax.local_devices())
+            # (hosts, devices-per-host) hybrid mesh -> flatten host-major
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, per_host), dcn_mesh_shape=(n_proc, 1),
+                devices=jax.devices())
+            flat = devices.reshape(-1)
+        except ValueError:
+            # platforms without slice topology info (e.g. the 2-process CPU
+            # test rig): host-major = sort by (process, id) — for a FLAT
+            # 1-axis mesh this is exactly what the hybrid helper produces
+            flat = np.asarray(sorted(jax.devices(),
+                                     key=lambda d: (d.process_index, d.id)))
     else:
         devs = jax.devices()
         n = len(devs) if n_devices is None else min(n_devices, len(devs))

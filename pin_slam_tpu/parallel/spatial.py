@@ -400,6 +400,16 @@ def make_live_backend(mesh: Mesh, mc_user: MapConfig, n_map: int,
     cs1 = smc.capacity + 1
     Ls = smc.local_capacity
     merged_cap = n_map * cs1 - 1
+    # shard-block-encoded global ids ride through f32 value-casts in hash
+    # rows and the pool kNN cache; the merged capacity (not just the user
+    # capacity) must stay within f32's exact-integer range (ADVICE r4 #3 —
+    # merged_cap = map_capacity + n_map - 1 can exceed the MapConfig bound)
+    if merged_cap > (1 << 24):
+        raise ValueError(
+            f"map_shards={n_map}: merged capacity {merged_cap} "
+            f"(map_capacity + map_shards - 1) exceeds 2^24; shard-block "
+            f"global ids would lose exactness in f32 casts — reduce "
+            f"map_capacity or map_shards")
     Lm = n_map * Ls
     mc_merged = dataclasses.replace(mc_user, capacity=merged_cap,
                                     local_capacity=Lm)
@@ -466,7 +476,14 @@ def make_live_backend(mesh: Mesh, mc_user: MapConfig, n_map: int,
         active = (jnp.arange(Ls + 1, dtype=jnp.int32)[None, :]
                   < counts_g[:, None]).reshape(-1)
         rankf = jnp.cumsum(active.astype(jnp.int32)) - 1
-        active = active & (rankf < Lm)                     # keep-first overflow
+        # keep-first overflow trim: members are kept SHARD-MAJOR (all of
+        # shard 0 before any of shard 1), which differs from the single-
+        # device policy of keeping the lowest global indices (= oldest
+        # points) when the merged window overflows Lm (ADVICE r4 #4).  In
+        # practice each shard's window is Ls-bounded so the merged window
+        # only overflows when every shard is simultaneously full; documented
+        # at the `tpu: map_shards` knob (config.py).
+        active = active & (rankf < Lm)
         j = jnp.nonzero(active, size=Lm, fill_value=nrow)[0].astype(jnp.int32)
         j_pad = jnp.concatenate([j, jnp.array([nrow], jnp.int32)])
 

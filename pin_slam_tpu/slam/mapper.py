@@ -233,6 +233,41 @@ def idw_blend(points: jax.Array, nbr_pos: jax.Array, valid: jax.Array,
     return w, vec_blend
 
 
+def _brick_gather_fm(lm, mc, tmpl, probe_pts):
+    """Brick-layout probe gather at ``probe_pts`` -> FIELD-MAJOR rows.
+
+    ONE (G, Kb) whole-brick row gather (Kb ~ K/nsub physical rows — the
+    row-count saving over the per-cell probe) unpacked to field-major
+    (G, 5*Kc) columns [x*Kc | y*Kc | z*Kc | lidx*Kc | gidx*Kc] with
+    candidate order c = s*Kb + kb.  Sub-cells outside the sphere template
+    (the brick cover is a superset) get their lidx masked to the sentinel via
+    the integer-exact parity membership table, so the CANDIDATE SET equals
+    the per-cell probe's under the brick hash function.  Everything stays
+    2-D: 3-D reshapes with tiny minor dims tile-pad catastrophically on TPU
+    (measured 25.6x memory expansion -> OOM; experiments/profile_brick.py)."""
+    from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
+
+    bx, by, bz = mc.brick
+    nsub, Hb = mc.nsub, mc.brick_rows
+    bvec = jnp.asarray([bx, by, bz], jnp.int32)
+    g = grid_coords(probe_pts, mc.voxel_size)
+    bco = jnp.floor_divide(g, bvec)
+    p = g - bco * bvec
+    bidx = p[:, 0] * (by * bz) + p[:, 1] * bz + p[:, 2]       # (G,)
+    boffs = tmpl.bricks[bidx]                                 # (G,Kb,3)
+    hb = spatial_hash(bco[:, None, :] + boffs, Hb)            # (G,Kb)
+    raw = lm.hash_rows.reshape(Hb + 1, nsub * npts.BRICK_SUB_DIM)[hb]
+    memb = tmpl.memb[bidx]                                    # (G, nsub*Kb)
+    fields = []
+    for f in range(npts.BRICK_SUB_DIM):
+        fields.append(jnp.concatenate(
+            [raw[:, :, s * npts.BRICK_SUB_DIM + f] for s in range(nsub)],
+            axis=1))                                          # (G, nsub*Kb)
+    L = mc.local_capacity
+    fields[3] = jnp.where(memb > 0.5, fields[3], float(L))    # mask non-members
+    return jnp.concatenate(fields, axis=1)                    # (G, 5*Kc)
+
+
 def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k,
                 use_rank_kernel: bool = False):
     """Probe the local hash at ``probe_pts``' neighbor cells, rank the shared
@@ -242,32 +277,49 @@ def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k,
     g's candidate ball.  Returns (gidx (G,n,k) i32 global ids, w-geometry
     inputs: nbr_pos (G,n,k,3), valid (G,n,k)).
 
+    ``offsets``: a plain (K,3) cell template, or a ``ProbeTemplate`` — with
+    a brick-layout ``mc`` the latter probes whole BRICK rows (~K/nsub row
+    gathers at identical candidate sets; PERF.md r5).
+
     ``use_rank_kernel``: fuse the post-gather distance/validity/k-min/select
     chain into one Pallas kernel (ops/rank_kernel.py) — same semantics, no
     (G,n,K) HBM intermediates.
     """
-    from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
+    from pin_slam_tpu.ops.hash3d import grid_coords
 
     L = mc.local_capacity
-    grid = grid_coords(probe_pts, mc.voxel_size)
-    cells = grid[:, None, :] + offsets[None, :, :]
-    h = spatial_hash(cells, mc.local_hash_size)
-    rows = lm.hash_rows[h]                                # (G,K,8) probe
+    brick_mode = isinstance(offsets, npts.ProbeTemplate) and mc.nsub > 1
+    cells_t = offsets.cells if isinstance(offsets, npts.ProbeTemplate) else offsets
+    G, n = query_pts.shape[0], query_pts.shape[1]
+    if brick_mode:
+        rows_fm = _brick_gather_fm(lm, mc, offsets, probe_pts)
+        Kc = rows_fm.shape[1] // 5
+    else:
+        grid = grid_coords(probe_pts, mc.voxel_size)
+        cells = grid[:, None, :] + cells_t[None, :, :]
+        h = npts.subcell_hash(mc, cells)
+        rows = lm.hash_rows[h]                            # (G,K,·) probe
+        Kc = cells_t.shape[0]
     if use_rank_kernel:
         from pin_slam_tpu.ops.rank_kernel import (RankKernelConfig,
                                                   probe_rank_pallas)
 
-        G, n = query_pts.shape[0], query_pts.shape[1]
-        K = offsets.shape[0]
-        rows_fm = jnp.transpose(rows[..., :5], (0, 2, 1)).reshape(G, 5 * K)
-        rcfg = RankKernelConfig(G=G, n=n, K=K, k=k, L=L,
+        if not brick_mode:
+            rows_fm = jnp.transpose(rows[..., :5], (0, 2, 1)).reshape(G, 5 * Kc)
+        rcfg = RankKernelConfig(G=G, n=n, K=Kc, k=k, L=L,
                                 max_valid_dist2=mc.max_valid_dist2)
         return probe_rank_pallas(
             rcfg, rows_fm, query_pts.reshape(G, 3 * n),
             interpret=jax.default_backend() == "cpu")
-    nbr = rows[..., :3]
-    lidx = rows[..., 3].astype(jnp.int32)
-    gidx = rows[..., 4].astype(jnp.int32)
+    if brick_mode:
+        nbr = jnp.stack([rows_fm[:, 0 * Kc:1 * Kc], rows_fm[:, 1 * Kc:2 * Kc],
+                         rows_fm[:, 2 * Kc:3 * Kc]], axis=-1)  # (G,Kc,3)
+        lidx = rows_fm[:, 3 * Kc:4 * Kc].astype(jnp.int32)
+        gidx = rows_fm[:, 4 * Kc:5 * Kc].astype(jnp.int32)
+    else:
+        nbr = rows[..., :3]
+        lidx = rows[..., 3].astype(jnp.int32)
+        gidx = rows[..., 4].astype(jnp.int32)
 
     d = nbr[:, None, :, :] - query_pts[:, :, None, :]     # (G,n,K,3)
     dist2 = jnp.sum(d * d, axis=-1)                       # (G,n,K)
@@ -277,8 +329,7 @@ def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k,
     sel = exact_k_min(dist2, k)                           # (G,n,k)
     # one-hot MXU selection: take_along_axis lowers to per-ELEMENT gathers on
     # TPU (measured ~30 ms at these shapes vs ~2 ms for the einsum select)
-    onehot = (sel[..., None] == jnp.arange(offsets.shape[0],
-                                           dtype=sel.dtype)
+    onehot = (sel[..., None] == jnp.arange(Kc, dtype=sel.dtype)
               ).astype(jnp.float32)                       # (G,n,k,K)
     payload = jnp.concatenate(
         [nbr, gidx.astype(jnp.float32)[..., None]], axis=-1)       # (G,K,4)
@@ -316,8 +367,11 @@ def dedup_group_probe(lm, mc, offsets, probe_pts, queries, k, budget: int,
     frames; items in groups past the budget (pathological all-unique frames)
     come back all-invalid — supervision dropped for the frame, never wrong.
 
-    Returns (gidx (N,q,k) i32, pos (N,q,k,3), valid (N,q,k)) in ORIGINAL
-    item order.
+    Returns (gidx (N,q,k) i32, pos (N,q,k,3), valid (N,q,k), dropped (N,))
+    in ORIGINAL item order; ``dropped`` marks items in groups past the budget
+    whose kNN came back all-invalid (callers should exclude those samples
+    from the pool so they are genuinely skipped, not trained against an
+    empty-feature decode — ADVICE r4 #2).
     """
     N, q = queries.shape[0], queries.shape[1]
     G_B = max(8, budget)
@@ -373,7 +427,8 @@ def dedup_group_probe(lm, mc, offsets, probe_pts, queries, k, budget: int,
     gidx = jnp.round(out[..., 0]).astype(jnp.int32)
     pos = out[..., 1:4]
     valid = out[..., 4] > 0.5
-    return jnp.where(valid, gidx, -1), pos, valid
+    dropped = jnp.zeros((N,), bool).at[order].set(over)
+    return jnp.where(valid, gidx, -1), pos, valid, dropped
 
 
 def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
@@ -382,7 +437,8 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
                quats: Optional[jax.Array] = None, pos_encode=None,
                per_neighbor_vecs: bool = False,
                use_rank_kernel: bool = False,
-               dedup_far_budget: int = 0, dedup_near_budget: int = 0):
+               dedup_far_budget: int = 0, dedup_near_budget: int = 0,
+               return_dropped: bool = False):
     """kNN + cached geometry of one frame's samples at append time, with the
     probe SHARED along each ray (see the pool-row layout note): the first
     ``near_count`` samples of a ray (endpoint + Gaussian surface + behind —
@@ -431,7 +487,9 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
 
     Returns (gidx (M,k) i32 GLOBAL ids, w (M,k), vec_blend (M,vec_dim)).
     """
-    k = min(mc.nn_k, offsets.shape[0])
+    cells_t = (offsets.cells if isinstance(offsets, npts.ProbeTemplate)
+               else offsets)
+    k = min(mc.nn_k, cells_t.shape[0])
     Sn = ray_sample_count
     n_rays = coords.shape[0] // Sn
     c3 = coords.reshape(n_rays, Sn, 3)
@@ -445,12 +503,13 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
         far = c3[:, near_count:]
 
     if dedup_near_budget > 0:
-        g_near, p_near, v_near = dedup_group_probe(
+        g_near, p_near, v_near, d_near = dedup_group_probe(
             lm, mc, offsets, c3[:, 0], near, k, dedup_near_budget, n_g=2,
             use_rank_kernel=use_rank_kernel)
     else:
         g_near, p_near, v_near = _probe_rank(lm, mc, offsets, c3[:, 0], near,
                                              k, use_rank_kernel=use_rank_kernel)
+        d_near = jnp.zeros((n_rays,), bool)
     if far.shape[1] > 0:
         far_flat = far.reshape(-1, 3)
         # optional narrower template for the individually-probed free-space
@@ -459,7 +518,7 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
         # candidate reach costs little supervision while the probe's gathered
         # rows (the dominant frame_update cost) shrink proportionally
         if dedup_far_budget > 0:
-            g_far, p_far, v_far = dedup_group_probe(
+            g_far, p_far, v_far, d_far = dedup_group_probe(
                 lm, mc, offsets if far_offsets is None else far_offsets,
                 far_flat, far_flat[:, None, :], k, dedup_far_budget, n_g=4,
                 use_rank_kernel=use_rank_kernel)
@@ -468,13 +527,16 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
                 lm, mc, offsets if far_offsets is None else far_offsets,
                 far_flat, far_flat[:, None, :], k,
                 use_rank_kernel=use_rank_kernel)
+            d_far = jnp.zeros((far_flat.shape[0],), bool)
         g_far = g_far.reshape(n_rays, -1, k)
         p_far = p_far.reshape(n_rays, -1, k, 3)
         v_far = v_far.reshape(n_rays, -1, k)
+        d_far = d_far.reshape(n_rays, -1)
     else:
         g_far = jnp.zeros((n_rays, 0, k), jnp.int32)
         p_far = jnp.zeros((n_rays, 0, k, 3), jnp.float32)
         v_far = jnp.zeros((n_rays, 0, k), bool)
+        d_far = jnp.zeros((n_rays, 0), bool)
 
     # reassemble in the sampler's per-ray order
     # [near prefix, free-front, behind (from the shared-ball block)]
@@ -490,14 +552,24 @@ def append_knn(lm: npts.LocalMap, mc, offsets: jax.Array, coords: jax.Array,
     valid = valid.reshape(-1, k)
     quat = (quats[jnp.where(gidx >= 0, jnp.minimum(gidx, mc.capacity),
                             mc.capacity)] if quats is not None else None)
+    extra = ()
+    if return_dropped:
+        # per-sample budget-drop mask in the sampler's per-ray order (the
+        # near block shares its ray's drop flag)
+        n_near = near.shape[1]
+        d_nearb = jnp.broadcast_to(d_near[:, None], (n_rays, n_near))
+        dropped = jnp.concatenate(
+            [d_nearb[:, :near_count], d_far, d_nearb[:, near_count:]],
+            axis=1).reshape(-1)
+        extra = (dropped,)
     if per_neighbor_vecs:
         # weighted_first=False layout: each neighbor's own (encoded) offset
         # vector is cached too (the per-neighbor decoder input)
         w, vec_blend, enc = idw_blend(coords, pos, valid, quat, pos_encode,
                                       mc.idw_eps, return_per_neighbor=True)
-        return gidx, w, vec_blend, enc
+        return (gidx, w, vec_blend, enc) + extra
     w, vec_blend = idw_blend(coords, pos, valid, quat, pos_encode, mc.idw_eps)
-    return gidx, w, vec_blend
+    return (gidx, w, vec_blend) + extra
 
 
 @partial(jax.jit, static_argnames=("mcfg",))

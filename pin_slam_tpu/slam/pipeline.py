@@ -104,6 +104,19 @@ class SlamSystem:
         self.far_offsets = (jnp.asarray(npts.neighbor_offsets(
             config.far_num_nei_cells, config.far_search_alpha))
             if config.far_num_nei_cells > 0 else None)
+        # brick-layout probe templates for the append-time kNN (the K-cell
+        # ball becomes ~K/nsub whole-brick row gathers at identical candidate
+        # sets — PERF.md r5; the tracker/mesher per-cell probes address the
+        # same table via subcell_hash and keep their row counts)
+        if self.mc.nsub > 1:
+            self.append_tmpl = npts.make_probe_template(
+                self.mc, config.num_nei_cells, config.search_alpha)
+            self.far_tmpl = (npts.make_probe_template(
+                self.mc, config.far_num_nei_cells, config.far_search_alpha)
+                if config.far_num_nei_cells > 0 else None)
+        else:
+            self.append_tmpl = self.offsets
+            self.far_tmpl = self.far_offsets
 
         key = jax.random.PRNGKey(config.seed)
         self.key, kg, ks, kc = jax.random.split(key, 4)
@@ -133,14 +146,13 @@ class SlamSystem:
         elif want is False or want == "false":
             self._use_kernel = False
         else:
-            # auto: the fused kernels win for weighted_first=True (bench
-            # 152.9 -> 140.3 ms), but at the run_kitti weighted_first=False
-            # shapes the XLA autodiff scan measures FASTER end-to-end
-            # (154.8 vs 164.8 ms per 15-iter loop — the per-neighbor
-            # operands inflate the kernel path's fixed staging cost;
-            # PERF.md r4).  Override with tpu: use_pallas_train
-            self._use_kernel = (supported and jax.default_backend() == "tpu"
-                                and self.mc.weighted_first)
+            # auto: on for TPU in BOTH interpolation modes.  r4's wf=False
+            # kernel lost to the XLA autodiff scan (164.8 vs 154.8 ms per
+            # 15-iter loop); the r5 block-diagonal per-neighbor decode (one
+            # kron'd full-depth matmul pair instead of k 11-deep ones, raw
+            # grad-matmul outputs) wins: 132.4 vs 157.9 ms at run_kitti
+            # shapes (PERF.md r5).  Override with tpu: use_pallas_train
+            self._use_kernel = supported and jax.default_backend() == "tpu"
         wr = config.use_pallas_rank
         if wr is True or wr == "true":
             self._use_rank_kernel = True
@@ -151,6 +163,20 @@ class SlamSystem:
         wd = config.use_probe_dedup
         self._use_dedup = (wd is True or wd == "true"
                            or wd not in (False, "false"))
+        # dedup_group_probe packs frame-recentered voxel coords into a 10-bit
+        # -per-axis key; a frame's probe extent is bounded by 2*max_range, so
+        # the key is exact only when that spans < 1024 cells per axis (ADVICE
+        # r4 #1).  Shipped profiles are safe (KITTI: 2*80/0.4 = 400); a long-
+        # range sensor with tiny voxels silently aliases voxels, so fall back
+        # to the per-item probe instead.
+        if self._use_dedup:
+            span_cells = int(np.ceil(2.0 * config.max_range / self.mc.voxel_size))
+            if span_cells >= 1024:
+                self._use_dedup = False
+                print(f"[pipeline] probe dedup disabled: frame probe extent "
+                      f"{span_cells} cells/axis >= 1024 (2*max_range/"
+                      f"voxel_size_m) would alias the 30-bit group key",
+                      flush=True)
 
         if self._spatial is not None:
             self.state = self._spatial.init_state()
@@ -442,9 +468,9 @@ class SlamSystem:
             n_rays_f = coord_world.shape[0] // sc.ray_sample_count
             n_far = n_rays_f * (sc.ray_sample_count - 1 - sc.surface_sample_n)
             out = mp.append_knn(
-                lm, mc, offsets, coord_world, sc.ray_sample_count,
+                lm, mc, self.append_tmpl, coord_world, sc.ray_sample_count,
                 near_count=1 + sc.surface_sample_n,
-                far_offsets=self.far_offsets,
+                far_offsets=self.far_tmpl,
                 quats=(state.attr_rows[:, npts.C_QUAT] if after_pgo else None),
                 pos_encode=pos_encode_fn,
                 per_neighbor_vecs=not mcfg.weighted_first,
@@ -452,11 +478,18 @@ class SlamSystem:
                 dedup_far_budget=(int(n_far * cfg.probe_dedup_budget)
                                   if self._use_dedup else 0),
                 dedup_near_budget=(int(n_rays_f * cfg.probe_dedup_near_budget)
-                                   if self._use_dedup else 0))
+                                   if self._use_dedup else 0),
+                return_dropped=True)
             knn_g, knn_w, knn_vec = out[:3]
-            knn_nvec = out[3] if len(out) == 4 else None
+            knn_nvec = out[3] if len(out) == 5 else None
+            dropped = out[-1]
+            # samples whose kNN was dropped by the dedup group budget never
+            # enter the pool: appending them with an all-invalid cache would
+            # train the decoder against an empty-feature prediction — an
+            # active bias, not a no-op (ADVICE r4 #2)
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
-                                  batch.sdf_label, batch.weight, batch.valid,
+                                  batch.sdf_label, batch.weight,
+                                  batch.valid & ~dropped,
                                   frame_id, new_mask, batch.sem_label,
                                   batch.color_label, knn_g, knn_w, knn_vec,
                                   knn_nbr_vec=knn_nvec)
@@ -597,6 +630,7 @@ class SlamSystem:
         """
         cfg = self.config
         info = {}
+        self._poll_control()
         t0 = time.perf_counter()
 
         points = jnp.asarray(frame.points)
@@ -797,7 +831,9 @@ class SlamSystem:
         # mesh_freq_frame / sdfslice_freq_frame when the visualizer is on
         # (ref pin_slam.py:272-341, utils/visualizer.py); on a headless TPU
         # host the equivalent is periodic artifact dumps under <run>/vis/
-        if cfg.o3d_vis_on:
+        if cfg.o3d_vis_on or getattr(self, "_mesh_now", False):
+            # mesh_now (control.json) overrides the vis gate: an explicit
+            # request for a mesh + viewer refresh mid-run
             self._periodic_artifacts(info)
 
         if self._sync_stages:
@@ -856,10 +892,13 @@ class SlamSystem:
                 query_bucket=cfg.mesh_query_bucket), self.mc, self.offsets,
                 dp_mesh=getattr(self, "_dp_mesh", None))
 
-        mesh_due = (fid > 0 and cfg.mesh_freq_frame > 0
-                    and fid % cfg.mesh_freq_frame == 0) or info.get("pgo_applied")
+        mesh_due = ((fid > 0 and cfg.mesh_freq_frame > 0
+                     and fid % cfg.mesh_freq_frame == 0)
+                    or info.get("pgo_applied")
+                    or getattr(self, "_mesh_now", False))
         slice_due = (cfg.sdfslice_freq_frame > 0
                      and fid % cfg.sdfslice_freq_frame == 0)
+        self._mesh_now = False
         if not (mesh_due or slice_due):
             return
 
@@ -906,18 +945,32 @@ class SlamSystem:
                 gv, gf = self._sensor_glyph
                 gv_w = (gv @ self.cur_pose[:3, :3].T
                         + self.cur_pose[:3, 3]).astype(np.float32)
+                # replay-pool layer (ref visualizer data_pool toggle): a
+                # strided <=40k-point sample of the pool's world coords +
+                # SDF labels — one narrow device fetch per refresh
+                stride = max(1, int(self.pool.rows.shape[0]) // 40000)
+                pool_rows = np.asarray(self.pool.rows[::stride, :6])
+                pool_ok = pool_rows[:, mp.P_TS] >= 0.0
+                pool_pts = pool_rows[pool_ok][:, mp.P_COORD]
+                pool_lbl = pool_rows[pool_ok][:, mp.P_LABEL]
                 export_html(os.path.join(run_path, "viewer.html"),
                             neural_points=np.asarray(self.lm.positions[:count]),
                             mesh_verts=v if v.shape[0] else None,
                             mesh_faces=f if v.shape[0] else None,
                             mesh_colors=c, trajectory=traj,
                             sensor_verts=gv_w, sensor_faces=gf,
+                            pool_points=pool_pts, pool_labels=pool_lbl,
                             live=True,
                             meta={"frame": fid, "rev": fid,
                                   "map_points": self._map_count(),
-                                  "loops": n_loops})
-            except Exception:
-                pass
+                                  "loops": n_loops, "paused": False,
+                                  "sensor": [float(x) for x in
+                                             self.cur_pose[:3, 3]]})
+            except Exception as e:
+                # the viewer is an artifact, never a crash — but a silent
+                # except here hid a broken feature for a whole round
+                # (VERDICT r4 weak #2); warn once per run.
+                self._warn_once("viewer", f"live viewer export failed: {e!r}")
         if slice_due:
             height = origin[2] + cfg.sdf_slice_height
             pts_sl, sdf_sl = self._vis_mesher.sdf_slice(
@@ -1130,6 +1183,15 @@ class SlamSystem:
         self.after_pgo = True
         self.loop_reg_failed_count = 0
         info["pgo_applied"] = True
+        # pause-at-loop debugging hook (ref utils/visualizer.py:344-346):
+        # when control.json carries pause_at_loop, hold the run right after
+        # this closure was applied so the deformed map can be inspected
+        if getattr(self, "_pause_at_loop", False):
+            ctl = self._read_control()
+            ctl["pause"] = True
+            self._write_control(ctl)
+            print(f"[pipeline] loop closure applied at frame {fid}; pausing "
+                  f"(control.json pause_at_loop)", flush=True)
 
     # ------------------------------------------------------------------
     def run(self, num_frames: Optional[int] = None) -> dict:
@@ -1152,6 +1214,100 @@ class SlamSystem:
             wandb_log.log({f"metrics/{k}": v for k, v in metrics.items()})
         wandb_log.finish()
         return metrics
+
+    def _control_path(self) -> str:
+        cfg = self.config
+        run_path = cfg.run_path or os.path.join(cfg.output_root,
+                                                cfg.name or "run")
+        return os.path.join(run_path, "control.json")
+
+    def _read_control(self) -> dict:
+        try:
+            with open(self._control_path()) as f:
+                import json
+
+                return json.load(f) or {}
+        except (OSError, ValueError):
+            return {}
+
+    def _write_control(self, state: dict) -> None:
+        import json
+
+        path = self._control_path()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    def _poll_control(self) -> None:
+        """File-based run control, polled between frames (the TPU-native
+        stand-in for the reference visualizer's pause/step key callbacks,
+        ref utils/visualizer.py:211-242,344-346).  ``control.json`` in the
+        run dir (written by hand, by utils/viewer_server.py, or by the
+        pause-at-loop hook below): pause/step/mesh_now/pause_at_loop."""
+        ctl = self._read_control()
+        if not ctl:
+            return
+        if ctl.pop("mesh_now", False):
+            self._mesh_now = True
+            self._write_control(ctl)
+        self._pause_at_loop = bool(ctl.get("pause_at_loop", False))
+        waited = False
+        while ctl.get("pause"):
+            if int(ctl.get("step", 0) or 0) > 0:
+                ctl["step"] = int(ctl["step"]) - 1
+                self._write_control(ctl)     # consume one stepped frame
+                break
+            if not waited:
+                print(f"[pipeline] paused at frame {self.frame_id} "
+                      f"(control.json; set pause=false or step=N)",
+                      flush=True)
+                self._refresh_viewer_meta(paused=True)
+                waited = True
+            time.sleep(0.25)
+            ctl = self._read_control()
+        if waited:
+            self._refresh_viewer_meta(paused=False)
+
+    def _refresh_viewer_meta(self, paused: bool) -> None:
+        """Update only the live viewer's meta line (cheap: rewrites the
+        sidecar with the LAST exported layers preserved via a meta-only
+        marker is not possible — so bump rev and let the HUD show PAUSED)."""
+        sidecar = os.path.join(os.path.dirname(self._control_path()),
+                               "viewer_data.js")
+        if not os.path.exists(sidecar):
+            return
+        try:
+            import re
+
+            with open(sidecar) as f:
+                txt = f.read()
+            m = re.search(r"(.*window\.__PIN_DATA\(.*, )(\{[^{}]*\})(\);)\s*$",
+                          txt, re.S)
+            if not m:
+                return
+            import json
+
+            meta = json.loads(m.group(2))
+            meta["paused"] = paused
+            meta["rev"] = str(meta.get("rev", "")) + ("p" if paused else "r")
+            with open(sidecar + ".tmp", "w") as f:
+                f.write(m.group(1) + json.dumps(meta) + m.group(3))
+            os.replace(sidecar + ".tmp", sidecar)
+        except Exception as e:
+            self._warn_once("viewer_meta", f"viewer meta refresh failed: {e!r}")
+
+    def _warn_once(self, key: str, msg: str) -> None:
+        """Print a warning at most once per run per key — used where an
+        optional artifact path catches broadly so it can never crash a run,
+        without letting the failure go invisible (VERDICT r4 weak #2)."""
+        seen = getattr(self, "_warned_keys", None)
+        if seen is None:
+            seen = self._warned_keys = set()
+        if key not in seen:
+            seen.add(key)
+            print(f"[pipeline] WARNING: {msg}", flush=True)
 
     def _map_count(self) -> int:
         """Total global neural points (spatial-sharding aware: a stacked
@@ -1243,8 +1399,8 @@ class SlamSystem:
                 fig.tight_layout()
                 fig.savefig(os.path.join(run_path, "time_details.png"), dpi=120)
                 plt.close(fig)
-            except Exception:
-                pass
+            except Exception as e:
+                self._warn_once("timeplot", f"time_details plot failed: {e!r}")
         from pin_slam_tpu.dataset import io as pio
         from pin_slam_tpu.utils.experiment import save_implicit_map
 

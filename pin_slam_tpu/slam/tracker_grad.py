@@ -161,8 +161,8 @@ def probe_candidates(lm: npts.LocalMap, mc: npts.MapConfig, pts: jax.Array,
     L = mc.local_capacity
     grid = npts.grid_coords(pts, mc.voxel_size)
     cells = grid[:, None, :] + offsets[None, :, :]
-    h = npts.spatial_hash(cells, mc.local_hash_size)
-    rows = lm.hash_rows[h]                              # (B,K,4) one gather
+    h = npts.subcell_hash(mc, cells)
+    rows = lm.hash_rows[h]                              # (B,K,·) one gather
     lidx = rows[..., 3].astype(jnp.int32)
     valid = lidx < L
     safe = jnp.where(valid, lidx, L)

@@ -121,6 +121,9 @@ function loadScene(LAYERS, META) {
   radius = Math.max(1, Math.hypot(bbox.hi[0]-bbox.lo[0],
     bbox.hi[1]-bbox.lo[1], bbox.hi[2]-bbox.lo[2]) / 2);
   if (!haveView) { resetView(); haveView = true; }   // keep camera when live
+  if (egoFollow && meta.sensor) {                    // ref ego view toggle
+    pan = [meta.sensor[0]-center[0], meta.sensor[1]-center[1],
+           meta.sensor[2]-center[2]]; }
   requestAnimationFrame(draw);
 }
 
@@ -144,17 +147,37 @@ function mul(A,B){ const C=new Float32Array(16);
   for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
     for(let k2=0;k2<4;k2++) s+=A[k2*4+j]*B[i*4+k2]; C[i*4+j]=s;} return C; }
 
+let egoFollow = false;
 function hud(){
   const rows = [];
   if (LIVE) rows.push(`<b>LIVE</b> frame <b>${meta.frame ?? "?"}</b>` +
     (meta.map_points !== undefined ? ` · map <b>${meta.map_points.toLocaleString()}</b> pts` : "") +
     (meta.loops ? ` · loops <b>${meta.loops}</b>` : "") +
+    (meta.paused ? " · <b style='color:#fa0'>PAUSED</b>" : "") +
     (meta.stale ? " · <b>stale?</b>" : ""));
   for (const [n,s] of Object.entries(scene)) rows.push(
     `[${s.key.toUpperCase()}] ${n}: <b>${s.on?"on":"off"}</b> (${s.n.toLocaleString()} pts)`);
+  rows.push(`[E] ego-follow: <b>${egoFollow?"on":"off"}</b>`);
   rows.push("[+/-] point size", "[R] reset view", "drag orbit · shift-drag pan · wheel zoom");
+  if (LIVE) rows.push(
+    `<span id="ctl" style="pointer-events:auto">` +
+    `<button onclick="ctl({pause:true})">pause</button> ` +
+    `<button onclick="ctl({pause:false})">resume</button> ` +
+    `<button onclick="ctl({step:1})">step</button> ` +
+    `<button onclick="ctl({mesh_now:true})">mesh now</button></span>`);
   document.getElementById("hud").innerHTML = rows.join("<br>");
 }
+// run control (pause / step / mesh-now): POST to /control when served by
+// utils/viewer_server.py; from file:// show the equivalent shell command
+// (a static page cannot write the run dir). The pipeline polls control.json
+// between frames (ref utils/visualizer.py:344-346 pause-at-loop debugging).
+window.ctl = (patch) => {
+  fetch("control", {method:"POST", body: JSON.stringify(patch)})
+    .catch(() => alert(
+      "Viewing from file:// — write the control file instead:\n\n" +
+      "echo '" + JSON.stringify(patch) + "' > <run_dir>/control.json\n\n" +
+      "(or serve live controls via: python -m pin_slam_tpu.utils.viewer_server <run_dir>)"));
+};
 
 function draw(){
   canvas.width = innerWidth; canvas.height = innerHeight;
@@ -190,6 +213,9 @@ onkeydown = e => { const k = e.key.toLowerCase();
   if (k === "+" || k === "=") psize = Math.min(12, psize+1);
   if (k === "-") psize = Math.max(1, psize-1);
   if (k === "r") resetView();
+  if (k === "e") { egoFollow = !egoFollow;
+    if (egoFollow && meta.sensor) pan = [meta.sensor[0]-center[0],
+      meta.sensor[1]-center[1], meta.sensor[2]-center[2]]; }
   requestAnimationFrame(draw); };
 onresize = () => requestAnimationFrame(draw);
 
@@ -248,10 +274,11 @@ def _build_layers(*, scan=None, neural_points=None, neural_point_colors=None,
                   mesh_verts=None, mesh_faces=None, mesh_colors=None,
                   trajectory=None, sdf_slice_points=None,
                   sdf_slice_colors=None, sensor_verts=None,
-                  sensor_faces=None) -> Dict[str, Dict]:
+                  sensor_faces=None, pool_points=None,
+                  pool_labels=None) -> Dict[str, Dict]:
     """Layer set mirrors the reference visualizer's toggles
     (utils/visualizer.py:211-242): scan [S], neural points [P], mesh [M],
-    trajectory [T], SDF slice [D], sensor CAD [C]."""
+    trajectory [T], SDF slice [D], sensor CAD [C], data pool [O]."""
     layers: Dict[str, Dict] = {}
     if sensor_verts is not None and sensor_faces is not None and len(sensor_verts):
         layers["sensor"] = {
@@ -284,6 +311,19 @@ def _build_layers(*, scan=None, neural_points=None, neural_point_colors=None,
         layers["sdf slice"] = _point_layer(
             sdf_slice_points, "d", False, (0.9, 0.4, 0.9),
             colors=sdf_slice_colors)
+    if pool_points is not None and len(pool_points):
+        # replay data pool (ref utils/visualizer.py data_pool layer): colored
+        # by SDF-label sign — red in front of surface, blue behind
+        lbl = (np.asarray(pool_labels, np.float32)
+               if pool_labels is not None else None)
+        cols = None
+        if lbl is not None and len(lbl) == len(pool_points):
+            t = np.clip(lbl / 0.3, -1.0, 1.0)
+            cols = np.stack([0.5 + 0.5 * np.maximum(t, 0),
+                             0.25 + 0.15 * (1 - np.abs(t)),
+                             0.5 + 0.5 * np.maximum(-t, 0)], axis=1)
+        layers["data pool"] = _point_layer(pool_points, "o", False,
+                                           (0.4, 0.8, 0.6), colors=cols)
     return layers
 
 
@@ -299,6 +339,8 @@ def export_html(path: str, *,
                 sdf_slice_colors: Optional[np.ndarray] = None,
                 sensor_verts: Optional[np.ndarray] = None,
                 sensor_faces: Optional[np.ndarray] = None,
+                pool_points: Optional[np.ndarray] = None,
+                pool_labels: Optional[np.ndarray] = None,
                 live: bool = False,
                 meta: Optional[Dict] = None) -> str:
     """Write the viewer with whichever layers are given.
@@ -315,7 +357,8 @@ def export_html(path: str, *,
         neural_point_colors=neural_point_colors, mesh_verts=mesh_verts,
         mesh_faces=mesh_faces, mesh_colors=mesh_colors, trajectory=trajectory,
         sdf_slice_points=sdf_slice_points, sdf_slice_colors=sdf_slice_colors,
-        sensor_verts=sensor_verts, sensor_faces=sensor_faces)
+        sensor_verts=sensor_verts, sensor_faces=sensor_faces,
+        pool_points=pool_points, pool_labels=pool_labels)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     if live:

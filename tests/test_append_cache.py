@@ -225,11 +225,13 @@ def test_dedup_group_probe_bit_identical(rng):
 
 
 def test_dedup_group_probe_overflow_drops(rng):
-    """Items in groups past the static budget come back all-invalid (dropped
-    supervision — never wrong neighbors)."""
+    """Items in groups past the static budget come back all-invalid AND
+    flagged in the returned drop mask (dropped supervision — never wrong
+    neighbors; the mask lets the pipeline keep them out of the pool,
+    ADVICE r4 #2)."""
     mc, state, lm, offsets, travel = _small_map(rng)
     q = rng.uniform(-5, 5, size=(256, 3)).astype(np.float32)  # ~all unique
-    gidx, pos, valid = mp.dedup_group_probe(
+    gidx, pos, valid, drop_mask = mp.dedup_group_probe(
         lm, mc, offsets, jnp.asarray(q), jnp.asarray(q)[:, None, :], 6,
         budget=16, n_g=4)
     g_ref, p_ref, v_ref = mp._probe_rank(lm, mc, offsets, jnp.asarray(q),
@@ -241,3 +243,9 @@ def test_dedup_group_probe_overflow_drops(rng):
     assert dropped.sum() > 100
     np.testing.assert_array_equal(np.asarray(gidx)[kept],
                                   np.asarray(g_ref)[kept])
+    # the returned mask covers exactly the over-budget items: every item it
+    # leaves unflagged is bit-exact vs the per-item probe
+    dm = np.asarray(drop_mask)
+    assert (dropped & ~dm).sum() == 0
+    np.testing.assert_array_equal(np.asarray(gidx)[~dm],
+                                  np.asarray(g_ref)[~dm])

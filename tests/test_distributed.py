@@ -4,6 +4,8 @@ over the global mesh — exercised degenerately at process_count == 1 on the
 8-fake-device CPU platform (the 2-host measurement needs real hosts; this
 pins the code path)."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -33,6 +35,49 @@ def test_initialize_env_plumbing(monkeypatch):
     monkeypatch.setenv("PIN_SLAM_PROCESS_ID", "1")
     assert pdist.initialize() is True
     assert calls == {"addr": "10.0.0.1:8476", "n": 2, "pid": 1}
+
+
+def test_two_process_distributed_matches_single_process(tmp_path):
+    """REAL 2-process ``jax.distributed`` exercise (VERDICT r4 next #6): two
+    subprocesses with 4 fake CPU devices each initialize through the
+    production env-var path, build the host-major global mesh (DCN axis
+    outermost), run one DP mapping step over it, and must reproduce the
+    single-process 8-device numerics (the psum ring spans the process
+    boundary — this is the only pre-pod execution of the DCN code path)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_dist_child.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, child, str(i), "2", str(port),
+         str(tmp_path / f"out{i}.npz")],
+        env=env, cwd=root, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{o[-3000:]}"
+
+    # parent reference: the SAME fixture on the single-process 8-device mesh
+    from pin_slam_tpu.parallel import mesh as pmesh
+
+    sys.path.insert(0, os.path.join(root, "tests"))
+    from _dist_fixture import run_mapping_step
+
+    hist_ref, feats_ref = run_mapping_step(pmesh.make_mesh(8))
+
+    for i in range(2):
+        z = np.load(tmp_path / f"out{i}.npz")
+        np.testing.assert_array_equal(z["procs"], [0, 0, 0, 0, 1, 1, 1, 1])
+        np.testing.assert_allclose(z["hist"], hist_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(z["feats"], feats_ref, rtol=1e-4, atol=1e-6)
 
 
 def test_global_mesh_runs_production_mapping_loop(rng):

@@ -72,3 +72,90 @@ def test_export_html_live_mode(tmp_path, rng):
     assert open(p).read() == html
     assert '"rev": 9' in open(tmp_path / "viewer_data.js").read().replace(
         '"rev":9', '"rev": 9')
+
+
+def test_pool_layer(tmp_path, rng):
+    """The data-pool layer (ref visualizer data_pool toggle) is exported with
+    label-sign coloring."""
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    lbl = rng.normal(size=300).astype(np.float32) * 0.2
+    p = export_html(str(tmp_path / "v.html"), pool_points=pts, pool_labels=lbl)
+    html = open(p).read()
+    assert "data pool" in html
+
+
+def test_control_channel_pause_step_mesh(tmp_path, monkeypatch):
+    """The pipeline's control.json poll (viewer pause/step/mesh-now — the
+    reference's visualizer run control, utils/visualizer.py:344-346)."""
+    import json as _json
+    import threading
+    import time as _time
+
+    from pin_slam_tpu.config import Config
+    from pin_slam_tpu.slam.pipeline import SlamSystem
+
+    S = object.__new__(SlamSystem)      # control methods only — no device init
+    S.config = Config()
+    S.config.run_path = str(tmp_path)
+    S.frame_id = 3
+
+    # no control file: no-op
+    S._poll_control()
+    assert not getattr(S, "_mesh_now", False)
+
+    # mesh_now: one-shot, consumed from the file
+    S._write_control({"mesh_now": True})
+    S._poll_control()
+    assert S._mesh_now is True
+    assert _json.load(open(tmp_path / "control.json")) == {}
+
+    # pause + step: blocks until a step is granted
+    S._write_control({"pause": True})
+
+    def release():
+        _time.sleep(0.6)
+        S._write_control({"pause": True, "step": 2})
+
+    t = threading.Thread(target=release)
+    t.start()
+    t0 = _time.perf_counter()
+    S._poll_control()                   # consumes one step
+    took = _time.perf_counter() - t0
+    t.join()
+    assert took > 0.4                   # actually waited for the release
+    assert _json.load(open(tmp_path / "control.json"))["step"] == 1
+    S._poll_control()                   # second step passes immediately
+    assert _json.load(open(tmp_path / "control.json"))["step"] == 0
+
+    # pause_at_loop flag is latched for the loop-closure hook
+    S._write_control({"pause_at_loop": True})
+    S._poll_control()
+    assert S._pause_at_loop is True
+
+
+def test_viewer_server_control_post(tmp_path):
+    """utils/viewer_server.py merges POST /control into control.json."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from pin_slam_tpu.utils.viewer_server import make_handler
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("localhost", 0), make_handler(str(tmp_path)))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    port = httpd.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://localhost:{port}/control",
+            data=_json.dumps({"pause": True}).encode(), method="POST")
+        assert urllib.request.urlopen(req, timeout=10).status == 200
+        req = urllib.request.Request(
+            f"http://localhost:{port}/control",
+            data=_json.dumps({"step": 3}).encode(), method="POST")
+        urllib.request.urlopen(req, timeout=10)
+        state = _json.load(open(tmp_path / "control.json"))
+        assert state == {"pause": True, "step": 3}
+    finally:
+        httpd.shutdown()
