@@ -44,6 +44,8 @@ def run_once(root, n, tag=""):
     cfg.source_bucket = 1 << 12
     cfg.downsample_hash_size = 1 << 19
     cfg.pool_capacity = 1 << 19
+    # accuracy-mitigation knob sweeps (ACCURACY.md r5)
+    cfg.fresh_freespace_damp = float(os.environ.get("PIN_DAMP", "1.0"))
     cfg._derive()
     cfg.log_loss_per_frame = False
 

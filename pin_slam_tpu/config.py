@@ -345,6 +345,16 @@ class Config:
         # effective per-frame workload.  0 = off (no compaction); survivors
         # past the bucket are dropped with their supervision.
         self.mapping_bucket: int = 0
+        # fresh-surface free-space damping (ACCURACY.md seed-5 mitigation):
+        # the BCE objective's free-space samples exist only on the SENSOR
+        # side of a surface, which biases freshly-observed surfaces' trained
+        # zero-crossings a few mm toward the sensor; when the local scene
+        # keeps that bias direction coherent the online loop integrates it
+        # into drift.  < 1.0 keeps only this fraction of the front free-space
+        # samples of rays whose ENDPOINT lands in a low-certainty (fresh)
+        # region — full pressure returns once the region is converged.
+        # 1.0 = off (reference behavior, ref utils/data_sampler.py:79-87)
+        self.fresh_freespace_damp: float = 1.0
         self.use_probe_dedup = "auto"
         # brick-packed hash rows (models/neural_points.py MapConfig.brick):
         # pack the cells of a (2,2,1) brick into one physical hash row so the
@@ -366,8 +376,9 @@ class Config:
         # city-scale spatial map sharding (parallel/spatial.py live backend):
         # >1 shards the GLOBAL neural-point SoA + voxel hash over that many
         # devices of a ("data","map") mesh; the bounded local window stays
-        # replicated so tracker/training/mesher run unchanged.  v1 requires
-        # pgo_on=False, ba_freq_frame=0 and dp_devices=1.  Caveat (ADVICE r4
+        # replicated so tracker/training/mesher run unchanged.  PGO + elastic
+        # map deformation run sharded (r5); v1 still requires
+        # ba_freq_frame=0 and dp_devices=1.  Caveat (ADVICE r4
         # #4): if the
         # MERGED local window overflows n_map*local_capacity (every shard
         # simultaneously full), the overflow trim keeps members shard-major
@@ -517,7 +528,7 @@ class Config:
             "far_num_nei_cells", "far_search_alpha", "use_pallas_train",
             "train_unroll", "use_pallas_rank", "use_probe_dedup",
             "probe_dedup_budget", "probe_dedup_near_budget", "map_shards",
-            "mapping_bucket", "use_brick_hash")},
+            "mapping_bucket", "use_brick_hash", "fresh_freespace_damp")},
         # ROS node knobs (ref utils/config.py:321-324; the reference reads
         # them as code defaults too, but make them YAML-settable here)
         "ros": {k: k for k in (

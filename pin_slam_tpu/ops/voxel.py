@@ -24,22 +24,38 @@ import numpy as np
 
 from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
 
-_VAL_BITS = 10  # quantization levels for the per-voxel score
-_IDX_BITS = 20  # supports up to 2^20 points per call
+_VAL_BITS = 10  # max quantization levels for the per-voxel score
 _SENTINEL = np.int32(2**30)  # plain numpy: a module-level jnp constant would
 #                              initialize the XLA backend at import time,
 #                              breaking jax.distributed.initialize() ordering
+_SENTINEL_U = np.uint32(0xFFFFFFFF)
+
+
+def _val_bits(n: int) -> int:
+    """Score bits of the packed (score << idx_bits | idx) argmin word.
+
+    uint32 packing: idx needs ceil(log2(n)) bits, the score gets the rest
+    (capped at _VAL_BITS).  Tie-breaking (same score -> lowest idx wins) is
+    independent of the split, so results are bit-identical across sizes;
+    only the score QUANTIZATION coarsens for maps beyond 2^22 points
+    (2^24-cap rehash: 256 levels — the score is a preference heuristic,
+    ref utils/tools.py:444-477 packs value*N+idx in int64 the same way)."""
+    idx_bits = max(1, (int(n) - 1).bit_length())
+    vb = min(_VAL_BITS, 32 - idx_bits)
+    assert vb >= 4, f"too many points for packed argmin: {n}"
+    return vb
 
 
 def _scatter_argmin_mask(key: jax.Array, score_q: jax.Array, valid: jax.Array, table_size: int) -> jax.Array:
-    """Keep-mask of per-key score-argmin winners. score_q: int32 in [0, 2^_VAL_BITS)."""
+    """Keep-mask of per-key score-argmin winners.
+    score_q: int32 in [0, 2^_val_bits(n))."""
     n = key.shape[0]
-    assert n <= (1 << _IDX_BITS), f"too many points for packed argmin: {n}"
-    idx = jnp.arange(n, dtype=jnp.int32)
-    packed = (score_q << _IDX_BITS) | idx
-    packed = jnp.where(valid, packed, _SENTINEL)
+    idx_bits = 32 - _val_bits(n)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    packed = (score_q.astype(jnp.uint32) << idx_bits) | idx
+    packed = jnp.where(valid, packed, _SENTINEL_U)
     slot = jnp.where(valid, key, table_size)  # dump slot for padding
-    table = jnp.full((table_size + 1,), _SENTINEL, dtype=jnp.int32)
+    table = jnp.full((table_size + 1,), _SENTINEL_U, dtype=jnp.uint32)
     table = table.at[slot].min(packed, mode="drop")
     return (table[slot] == packed) & valid
 
@@ -56,7 +72,9 @@ def voxel_down_sample_mask(points: jax.Array, valid: jax.Array, voxel_size: floa
     dist2 = jnp.sum((points - center) ** 2, axis=-1)
     # max distance-to-center inside a voxel is (sqrt(3)/2 * voxel)^2
     norm = (0.75 * voxel_size * voxel_size)
-    score_q = jnp.clip((dist2 / norm * ((1 << _VAL_BITS) - 1)).astype(jnp.int32), 0, (1 << _VAL_BITS) - 1)
+    vb = _val_bits(points.shape[0])
+    score_q = jnp.clip((dist2 / norm * ((1 << vb) - 1)).astype(jnp.int32),
+                       0, (1 << vb) - 1)
     return _scatter_argmin_mask(key, score_q, valid, table_size)
 
 
@@ -70,8 +88,9 @@ def voxel_down_sample_min_value_mask(points: jax.Array, valid: jax.Array, voxel_
     vmax = jnp.max(jnp.where(valid, values, -jnp.inf))
     vmin = jnp.min(jnp.where(valid, values, jnp.inf))
     span = jnp.maximum(vmax - vmin, 1e-12)
-    score_q = jnp.clip(((values - vmin) / span * ((1 << _VAL_BITS) - 1)).astype(jnp.int32),
-                       0, (1 << _VAL_BITS) - 1)
+    vb = _val_bits(points.shape[0])
+    score_q = jnp.clip(((values - vmin) / span * ((1 << vb) - 1)).astype(jnp.int32),
+                       0, (1 << vb) - 1)
     return _scatter_argmin_mask(key, score_q, valid, table_size)
 
 

@@ -233,39 +233,8 @@ def idw_blend(points: jax.Array, nbr_pos: jax.Array, valid: jax.Array,
     return w, vec_blend
 
 
-def _brick_gather_fm(lm, mc, tmpl, probe_pts):
-    """Brick-layout probe gather at ``probe_pts`` -> FIELD-MAJOR rows.
-
-    ONE (G, Kb) whole-brick row gather (Kb ~ K/nsub physical rows — the
-    row-count saving over the per-cell probe) unpacked to field-major
-    (G, 5*Kc) columns [x*Kc | y*Kc | z*Kc | lidx*Kc | gidx*Kc] with
-    candidate order c = s*Kb + kb.  Sub-cells outside the sphere template
-    (the brick cover is a superset) get their lidx masked to the sentinel via
-    the integer-exact parity membership table, so the CANDIDATE SET equals
-    the per-cell probe's under the brick hash function.  Everything stays
-    2-D: 3-D reshapes with tiny minor dims tile-pad catastrophically on TPU
-    (measured 25.6x memory expansion -> OOM; experiments/profile_brick.py)."""
-    from pin_slam_tpu.ops.hash3d import grid_coords, spatial_hash
-
-    bx, by, bz = mc.brick
-    nsub, Hb = mc.nsub, mc.brick_rows
-    bvec = jnp.asarray([bx, by, bz], jnp.int32)
-    g = grid_coords(probe_pts, mc.voxel_size)
-    bco = jnp.floor_divide(g, bvec)
-    p = g - bco * bvec
-    bidx = p[:, 0] * (by * bz) + p[:, 1] * bz + p[:, 2]       # (G,)
-    boffs = tmpl.bricks[bidx]                                 # (G,Kb,3)
-    hb = spatial_hash(bco[:, None, :] + boffs, Hb)            # (G,Kb)
-    raw = lm.hash_rows.reshape(Hb + 1, nsub * npts.BRICK_SUB_DIM)[hb]
-    memb = tmpl.memb[bidx]                                    # (G, nsub*Kb)
-    fields = []
-    for f in range(npts.BRICK_SUB_DIM):
-        fields.append(jnp.concatenate(
-            [raw[:, :, s * npts.BRICK_SUB_DIM + f] for s in range(nsub)],
-            axis=1))                                          # (G, nsub*Kb)
-    L = mc.local_capacity
-    fields[3] = jnp.where(memb > 0.5, fields[3], float(L))    # mask non-members
-    return jnp.concatenate(fields, axis=1)                    # (G, 5*Kc)
+# canonical home: models/neural_points.py (the tracker's probe cache shares it)
+_brick_gather_fm = npts.brick_gather_fm
 
 
 def _probe_rank(lm, mc, offsets, probe_pts, query_pts, k,

@@ -75,11 +75,13 @@ class SlamSystem:
         if config.map_shards > 1:
             if config.dp_devices > 1:
                 raise ValueError("map_shards > 1 requires dp_devices == 1 "
-                                 "(v1: axes not yet composed)")
-            if config.pgo_on or config.ba_freq_frame > 0:
+                                 "(v1: axes not yet composed; tracked in "
+                                 "parallel/spatial.py module note)")
+            if config.ba_freq_frame > 0:
                 raise ValueError(
-                    "map_shards > 1 requires pgo_on=False and ba_freq_frame=0 "
-                    "(v1: global map deformation is not yet sharded)")
+                    "map_shards > 1 requires ba_freq_frame=0 (v1: BA's joint "
+                    "pose+feature refinement is not yet sharded; PGO + "
+                    "elastic deformation ARE — r5)")
             from pin_slam_tpu.parallel import spatial as psp
 
             mesh2d = psp.make_mesh2d(1, config.map_shards)
@@ -346,8 +348,8 @@ class SlamSystem:
             src, src_valid, src_col, nrm, nrm_valid = source_prep(
                 points, valid, colors)
             res = trk.track_frame(
-                lm, mc, tc, geo_params, self.sdf_scale, offsets, src, src_valid,
-                R_init, t_init,
+                lm, mc, tc, geo_params, self.sdf_scale, self.append_tmpl,
+                src, src_valid, R_init, t_init,
                 color_params=color_params, source_colors=src_col,
                 source_normals=nrm, source_normal_valid=nrm_valid,
                 after_pgo=after_pgo)
@@ -461,6 +463,23 @@ class SlamSystem:
                 lm, mc, mcfg, coord_world, batch.sdf_label, batch.valid)
             col = jnp.arange(Sn) < n_surf_tot
             new_mask = (new_full.reshape(-1, Sn) & col[None, :]).reshape(-1)
+            valid_pool = batch.valid
+            if cfg.fresh_freespace_damp < 1.0:
+                # seed-5 leading-edge mitigation (ACCURACY.md r5): keep only
+                # `damp` of the FRONT free-space samples of rays whose
+                # endpoint is in a fresh (low-certainty) region — the
+                # one-sided free-space pressure of the BCE objective biases
+                # fresh zero-crossings toward the sensor; converged regions
+                # keep full pressure (the accuracy ledger shows permanent
+                # free-space reductions cost drift, PERF.md K=33->19 entry)
+                fresh_ray = new_full.reshape(-1, Sn)[:, 0]
+                front_col = ((jnp.arange(Sn) >= n_surf_tot)
+                             & (jnp.arange(Sn) < Sn - sc.free_behind_n))
+                k_damp = jax.random.fold_in(key, 17)
+                drop_u = jax.random.uniform(k_damp, (fresh_ray.shape[0], Sn))
+                kill = (fresh_ray[:, None] & front_col[None, :]
+                        & (drop_u > cfg.fresh_freespace_damp))
+                valid_pool = batch.valid & ~kill.reshape(-1)
             # behind samples keep their own probes: sharing the endpoint ball
             # (append_knn behind_count) measured ~0 speedup on the v5e but
             # +0.05 m square-loop drift (behind samples then train the surface
@@ -489,7 +508,7 @@ class SlamSystem:
             # active bias, not a no-op (ADVICE r4 #2)
             pool = mp.pool_append(pool, mcfg, coord_world, batch.coord,
                                   batch.sdf_label, batch.weight,
-                                  batch.valid & ~dropped,
+                                  valid_pool & ~dropped,
                                   frame_id, new_mask, batch.sem_label,
                                   batch.color_label, knn_g, knn_w, knn_vec,
                                   knn_nbr_vec=knn_nvec)
@@ -1128,13 +1147,18 @@ class SlamSystem:
                       - self.dataset.travel_dist[loop_id])
         tw = np.float32(min(self.mc.travel_dist_window,
                             max(0.5 * travel_gap, 1e-3)))
-        lm_loop = npts.build_local_map(
-            self.state, self.mc, jnp.asarray(origin_loop.astype(np.float32)),
-            jnp.int32(loop_id), self._travel, travel_window=jnp.asarray(tw))
+        if self._spatial is not None:
+            _, lm_loop = self._spatial.extract(
+                self.state, jnp.asarray(origin_loop.astype(np.float32)),
+                jnp.int32(loop_id), self._travel, travel_window=tw)
+        else:
+            lm_loop = npts.build_local_map(
+                self.state, self.mc, jnp.asarray(origin_loop.astype(np.float32)),
+                jnp.int32(loop_id), self._travel, travel_window=jnp.asarray(tw))
         source, src_valid, src_normals, src_nrm_valid = self.last_source
         res = trk.track_frame(
             lm_loop, self.mc, self.tc_loop, self.geo_params, self.sdf_scale,
-            self.offsets, source, src_valid,
+            self.append_tmpl, source, src_valid,
             jnp.asarray(guess[:3, :3].astype(np.float32)),
             jnp.asarray((guess[:3, 3] - origin_loop).astype(np.float32)),
             source_normals=src_normals,
@@ -1162,23 +1186,42 @@ class SlamSystem:
 
         diff_full = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
         diff_full[: pose_diff.shape[0]] = pose_diff.astype(np.float32)
-        self.state = npts.adjust_map(self.state, self.mc, jnp.asarray(diff_full))
-        self.state = npts.recreate_hash(self.state, self.mc, jnp.int32(fid),
-                                        downsample_table_size=cfg.downsample_hash_size)
+        if self._spatial is not None:
+            # per-shard deformation + rehash (embarrassingly parallel — each
+            # point moves by its own timestamp's pose diff; spatial.py note)
+            self.state = self._spatial.adjust(self.state, jnp.asarray(diff_full))
+            self.state = self._spatial.recreate(self.state, jnp.int32(fid))
+        else:
+            self.state = npts.adjust_map(self.state, self.mc, jnp.asarray(diff_full))
+            self.state = npts.recreate_hash(self.state, self.mc, jnp.int32(fid),
+                                            downsample_table_size=cfg.downsample_hash_size)
 
         poses_full = np.tile(np.eye(4, dtype=np.float32), (TS_CAPACITY, 1, 1))
         poses_full[: new_poses.shape[0]] = new_poses.astype(np.float32)
         self.pool = mp.pool_retransform(self.pool, jnp.asarray(poses_full))
         # both the samples and the neural points moved: recompute the cached
-        # kNN geometry from the deformed positions/quaternions
-        self.pool = mp.pool_refresh_cache(self.pool, self.state.attr_rows,
+        # kNN geometry from the deformed positions/quaternions.  The stacked
+        # sharded attr rows flatten DIRECTLY into the shard-block-encoded
+        # global id layout (g = shard*(cap_s+1) + row), sentinel row included
+        attr_rows = (self.state.attr_rows.reshape(-1, npts.ATTR_DIM)
+                     if self._spatial is not None else self.state.attr_rows)
+        self.pool = mp.pool_refresh_cache(self.pool, attr_rows,
                                           self.mc, self._pos_encode_fn)
 
         self.dataset.update_poses_after_pgo(new_poses)
         self.cur_pose = new_poses[fid].copy()
-        self.lm = npts.build_local_map(
-            self.state, self.mc, jnp.asarray(self.cur_pose[:3, 3].astype(np.float32)),
-            jnp.int32(fid), self._travel)
+        if self._spatial is not None:
+            # refresh slms + merged window COHERENTLY (the write-back slices
+            # each shard's block out of the merged rank ranges)
+            self._slms, self.lm = self._spatial.extract(
+                self.state,
+                jnp.asarray(self.cur_pose[:3, 3].astype(np.float32)),
+                jnp.int32(fid), self._travel)
+        else:
+            self.lm = npts.build_local_map(
+                self.state, self.mc,
+                jnp.asarray(self.cur_pose[:3, 3].astype(np.float32)),
+                jnp.int32(fid), self._travel)
         self.lm_origin64 = self.cur_pose[:3, 3].copy()
         self.after_pgo = True
         self.loop_reg_failed_count = 0

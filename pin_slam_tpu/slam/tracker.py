@@ -133,6 +133,11 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
     if source_sdf is None:
         source_sdf = jnp.zeros((n_src,), source.dtype)
     origin = lm.origin
+    # ``offsets`` may be a ProbeTemplate (brick-layout maps): the candidate
+    # cache probes whole brick rows with it; the per-cell paths (knn_search /
+    # the vjp fallback) use its classic cell template
+    cells_t = (offsets.cells if isinstance(offsets, npts.ProbeTemplate)
+               else offsets)
 
     color_on = (color_params is not None and source_colors is not None
                 and lm.color_features is not None)
@@ -140,7 +145,7 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
         src_intensity = color_to_intensity(source_colors)
 
     def sdf_fn(pts_world):
-        knn = npts.knn_search(lm, mc, pts_world, offsets)
+        knn = npts.knn_search(lm, mc, pts_world, cells_t)
         geo_feat, color_feat, w, _ = npts.interpolate_features(
             lm, mc, pts_world, knn.lidx, after_pgo=after_pgo, query_color=color_on)
         sdf_pred, sdf_std = dec.blended_sdf(geo_params, geo_feat, w,
@@ -156,9 +161,14 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
     max_sdf_std = tc.surface_sample_range * tc.max_sdf_std_ratio
 
     # the hand-derived gradient (tracker_grad.py) replaces jax.vjp on the
-    # geometry-only weighted-first path — same numbers, fewer scatter ops
-    # (positional encoding changes d(vec)/d(p), so that path falls back to vjp)
-    use_analytic = mc.weighted_first and not color_on and mc.pos_encoding_band == 0
+    # geometry-only paths — same numbers, fewer scatter ops, and it unlocks
+    # the candidate CACHE (probe once per pose margin instead of re-probing
+    # the hash every GN iteration).  Both interpolation modes since r5: the
+    # per-neighbor blend (run_kitti's weighted_first=False) previously fell
+    # back to vjp without the cache — measured as the dominant cost of the
+    # KITTI odometry program.  (Positional encoding changes d(vec)/d(p), so
+    # that path still falls back to vjp.)
+    use_analytic = not color_on and mc.pos_encoding_band == 0
 
     def one_step(R, t, cache=None):
         cur = source @ R.T + t                       # shifted frame
@@ -168,12 +178,11 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
             from pin_slam_tpu.slam import tracker_grad as tg
 
             if cache is not None:
-                sdf_pred, grad, nn_count = tg.sdf_value_and_grad_cached(
-                    cache, mc, geo_params, sdf_scale, pts_world, after_pgo)
+                sdf_pred, grad, nn_count, sdf_std = tg.sdf_value_and_grad_cached(
+                    cache, lm, mc, geo_params, sdf_scale, pts_world, after_pgo)
             else:
-                sdf_pred, grad, nn_count = tg.sdf_value_and_grad(
-                    lm, mc, geo_params, sdf_scale, offsets, pts_world, after_pgo)
-            sdf_std = jnp.zeros_like(sdf_pred)
+                sdf_pred, grad, nn_count, sdf_std = tg.sdf_value_and_grad(
+                    lm, mc, geo_params, sdf_scale, cells_t, pts_world, after_pgo)
             intensity = jnp.zeros_like(sdf_pred)
             vjp_fn = None
         else:
@@ -260,14 +269,12 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
 
     def body(carry):
         if use_analytic:
+            # NESTED-loop cache refresh (r5): the probe lives in the OUTER
+            # loop only — the former in-body lax.cond refresh made every GN
+            # iteration pay the full probe (~10 ms/iter at run_kitti shapes;
+            # measured: the per-iteration cost didn't move when the dense
+            # math shrank 5x, the signature of both-branch execution)
             R, t, i, converged, valid, last_res, cache, pR, pt = carry
-            # upper bound on how far any source point moved since the probe
-            moved = (jnp.linalg.norm(t - pt)
-                     + jnp.linalg.norm(R - pR) * r_max)
-            cache, pR, pt = jax.lax.cond(
-                moved > probe_margin,
-                lambda: (probe(R, t), R, t),
-                lambda: (cache, pR, pt))
             N, g, res_cm, valid_count = one_step(R, t, cache)
         else:
             R, t, i, converged, valid, last_res = carry
@@ -310,8 +317,34 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
             jnp.zeros((), jnp.int32), jnp.zeros((), bool), jnp.ones((), bool),
             jnp.full((), 1e5, jnp.float32))
     if use_analytic:
-        init = init + (probe(R0, t0), R0, t0)
-    out = jax.lax.while_loop(cond, body, init)
+        # outer loop: ONE probe per refresh epoch; inner loop: pure dense GN
+        # iterations until converged/invalid OR the pose has moved far enough
+        # that the probed cell neighborhoods could have changed
+        def inner_cond(carry):
+            R, t, i, converged, valid, last_res, cache, pR, pt = carry
+            moved = (jnp.linalg.norm(t - pt)
+                     + jnp.linalg.norm(R - pR) * r_max)
+            return ((i < tc.reg_iter_n) & ~converged & valid
+                    & (moved <= probe_margin))
+
+        def outer_cond(carry):
+            return cond(carry[:6])
+
+        def outer_body(carry):
+            R, t, i, converged, valid, last_res = carry[:6]
+            cache = carry[6]                  # probed at (R, t) by the
+            inner = jax.lax.while_loop(       # previous epoch's tail (or init)
+                inner_cond, body,
+                (R, t, i, converged, valid, last_res, cache, R, t))
+            R2, t2 = inner[0], inner[1]
+            # next epoch's (or the final-statistics query's) cache, probed at
+            # the advanced pose — every probe is consumed exactly once
+            return inner[:6] + (probe(R2, t2),)
+
+        out = jax.lax.while_loop(outer_cond, outer_body,
+                                 init + (probe(R0, t0),))
+    else:
+        out = jax.lax.while_loop(cond, body, init)
     R, t, i, converged, valid, last_res = out[:6]
 
     # re-orthonormalize: f32 drift through up to reg_iter_n matrix products
@@ -320,8 +353,13 @@ def track_frame(lm: npts.LocalMap, mc: npts.MapConfig,
     from pin_slam_tpu.ops.transforms import quat_to_rotmat, rotmat_to_quat
     R = quat_to_rotmat(rotmat_to_quat(R))
 
-    # final statistics at the converged pose (ref utils/tracker.py:137-167)
-    N, g, res_cm, valid_count = one_step(R, t)
+    # final statistics at the converged pose (ref utils/tracker.py:137-167);
+    # the last refresh epoch's candidate cache is valid within the probe
+    # margin of the converged pose, so no fresh full-template query is needed
+    if use_analytic:
+        N, g, res_cm, valid_count = one_step(R, t, out[6])
+    else:
+        N, g, res_cm, valid_count = one_step(R, t)
     max_final_res_cm = tc.surface_sample_range * 0.5 * 100.0
     valid = valid & (res_cm <= max_final_res_cm)
 

@@ -5,6 +5,7 @@ toward the truth when jointly optimized on surface samples
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pin_slam_tpu.models import neural_points as npts
 from pin_slam_tpu.ops.transforms import se3_expmap
@@ -12,6 +13,7 @@ from pin_slam_tpu.slam import mapper as mp
 from tests.test_mapping import build_and_train, ray_box_endpoints
 
 
+@pytest.mark.slow
 def test_ba_reduces_pose_error(rng):
     mc, mcfg, state, lm, params, offsets, travel, _ = build_and_train(
         rng, n_rays=8192, iters=400, bs=8192)

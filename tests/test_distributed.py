@@ -7,6 +7,7 @@ pins the code path)."""
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def test_initialize_env_plumbing(monkeypatch):
     assert calls == {"addr": "10.0.0.1:8476", "n": 2, "pid": 1}
 
 
+@pytest.mark.slow
 def test_two_process_distributed_matches_single_process(tmp_path):
     """REAL 2-process ``jax.distributed`` exercise (VERDICT r4 next #6): two
     subprocesses with 4 fake CPU devices each initialize through the

@@ -318,5 +318,7 @@ def test_square_loop_seed5_odometry(tmp_path_factory):
     gt = system.dataset.gt_poses[: len(est)]
     errs = np.linalg.norm(est[:, :3, 3] - np.stack(gt)[:, :3, 3], axis=1)
     assert invalid == 0, f"{invalid} invalid registrations"
-    assert errs[-1] < 0.2, f"seed-5 endpoint {errs[-1]:.3f} m (measured 0.109)"
-    assert errs.max() < 0.25, f"seed-5 max {errs.max():.3f} m"
+    # r5: 0.089 m measured (was 0.109 in r4; the pool-drop of budget-dropped
+    # samples + brick-hash collision reshuffle moved every seed, ACCURACY.md)
+    assert errs[-1] < 0.12, f"seed-5 endpoint {errs[-1]:.3f} m (measured 0.089)"
+    assert errs.max() < 0.15, f"seed-5 max {errs.max():.3f} m (measured 0.107)"

@@ -62,6 +62,7 @@ def test_isolated_points_invalid(rng):
     assert np.all(np.isfinite(np.asarray(nrm)))
 
 
+@pytest.mark.slow
 def test_tracker_converges_with_normals():
     """track_frame with the normal-consistency weight still recovers a known
     perturbation (weights scale the residuals; the fixed point is unchanged)."""

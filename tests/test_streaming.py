@@ -5,10 +5,12 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_streaming_slam(tmp_path, rng):
     from pin_slam_tpu.config import Config
     from pin_slam_ros import StreamingSlam
