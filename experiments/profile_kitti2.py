@@ -145,6 +145,13 @@ def main():
     jax.block_until_ready((coord_world, surf_mask))
     print(f"  surf candidates: {cw_surf.shape[0]}", flush=True)
 
+    import os as _os
+    if _os.environ.get("MEASURE_EXTRA"):
+        run_extra(system, state, lm, pool, mc, mcfg, sc, cfg, offsets, key,
+                  fid, travel, points, valid, pose_R, pose_t, coord_world,
+                  batch)
+        return
+
     def s_insert(i, attr, p, m):
         st = state._replace(attr_rows=attr)
         st2 = npts.map_insert(st, mc, p + i * 1e-5, m, fid, travel,
@@ -228,6 +235,101 @@ def main():
         per = (tB - tA) / 30.0
         print(f"mapping_loop[kernel={uk},unroll={un}]: per-iter {per:6.2f} ms;"
               f" fixed {tA - 15 * per:6.1f}; T=15 {tA:6.1f}", flush=True)
+
+
+
+
+
+def extra():
+    """r5: the remaining unexplained budget — full u&t single call, assign,
+    the append sub-pieces, and the training loop's fixed cost."""
+    import experiments  # noqa  (path bootstrap above)
+
+
+# appended r5 measurements run from main() via MEASURE_EXTRA=1
+def run_extra(system, state, lm, pool, mc, mcfg, sc, cfg, offsets, key, fid,
+              travel, points, valid, pose_R, pose_t, coord_world, batch):
+    import time as _t
+
+    # full fused update_and_train: ONE program (what the frame actually pays)
+    geo, sem, col = system.geo_params, system.sem_params, system.color_params
+
+    def uat():
+        out = system._update_and_train(
+            jax.tree.map(jnp.copy, state), jax.tree.map(jnp.copy, lm),
+            jax.tree.map(jnp.copy, pool), key, (geo, sem, col),
+            jnp.copy(travel), jnp.int32(0), points, valid, pose_R, pose_t,
+            jnp.asarray(True), jnp.float32(0.9), fid, None, None,
+            jnp.float32(1.0), False)
+        return out[0].count
+
+    t0 = _t.perf_counter()
+    r = uat()
+    jax.block_until_ready(r)
+    t_warm = _t.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        jax.block_until_ready(uat())
+        ts.append(_t.perf_counter() - t0)
+    print(f"update_and_train FULL program: {min(ts)*1e3:7.1f} ms "
+          f"(first {t_warm*1e3:.0f})", flush=True)
+
+    # assign_local_to_global
+    def s_assign(i, attr):
+        st = state._replace(attr_rows=attr)
+        st2 = npts.assign_local_to_global(st, lm, mc, travel)
+        return st2.attr_rows[0, 0] + i * 0.0
+
+    timed("assign_local_to_global", s_assign, state.attr_rows)
+
+    # append sub-pieces: far-dedup GATHER alone vs full probe+rank
+    tmpl = system.append_tmpl
+    n_rays_f = coord_world.shape[0] // sc.ray_sample_count
+    n_surf_tot = 1 + sc.surface_sample_n
+    c3 = coord_world.reshape(n_rays_f, sc.ray_sample_count, 3)
+    far = c3[:, n_surf_tot:].reshape(-1, 3)
+    G_B = int(n_rays_f * (sc.ray_sample_count - n_surf_tot)
+              * cfg.probe_dedup_budget)
+
+    def s_fargather(i, fp):
+        fm = npts.brick_gather_fm(lm, mc, tmpl, fp[:G_B] + i * 1e-5)
+        return jnp.sum(fm[:, 0])
+
+    timed(f"  far brick gather alone ({G_B} x Kb rows)", s_fargather, far)
+
+    def s_farrank(i, fp):
+        g, p, vd = mp._probe_rank(lm, mc, tmpl, fp[:G_B] + i * 1e-5,
+                                  (fp[:G_B] + i * 1e-5)[:, None, :], 6,
+                                  use_rank_kernel=system._use_rank_kernel)
+        return jnp.sum(p)
+
+    timed(f"  far probe+rank n=1 ({G_B} groups)", s_farrank, far)
+
+    # training fixed cost: batch mega-gather + remap alone
+    T, B = cfg.iters, cfg.bs
+    idx = jax.random.randint(key, (T * B,), 0, mcfg.pool_capacity)
+
+    def s_poolgather(i, ix):
+        rows = pool.rows[(ix + i) % mcfg.pool_capacity]
+        return jnp.sum(rows[:, 0])
+
+    timed(f"  training pool mega-gather ({T * B} x {mcfg.pool_dim} cols)",
+          s_poolgather, idx)
+
+    rank = jnp.cumsum(lm.member_mask.astype(jnp.int32)) - 1
+
+    def s_remap(i, ix):
+        rows = pool.rows[(ix + i) % mcfg.pool_capacity]
+        gidx = rows[:, mp.P_KNN].astype(jnp.int32)
+        local_of = jnp.where(lm.member_mask,
+                             jnp.minimum(rank, mc.local_capacity),
+                             mc.local_capacity)
+        lidx = local_of[jnp.where(gidx >= 0, jnp.minimum(gidx, mc.capacity),
+                                  mc.capacity)]
+        return jnp.sum(lidx)
+
+    timed(f"  gather + global->local remap ({T * B * 6} elems)", s_remap, idx)
 
 
 if __name__ == "__main__":

@@ -1218,7 +1218,6 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     idx_all = _sample_batch_indices(key, pool, mcfg, use_new, num_iters)  # (T,B)
     flat_idx = idx_all.reshape(-1)
     rows = pool.rows[flat_idx]                            # (T*B, pool_dim)
-    coord = rows[:, P_COORD]
     labels = rows[:, P_LABEL].reshape(T, B)
     weights = jnp.abs(rows[:, P_WEIGHT]).reshape(T, B)
     ts_flat = rows[:, P_TS]
@@ -1258,8 +1257,11 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
     # needs fresh per-stencil distances -> ONE small neighbor-position gather
     # over the decimated subset (ref utils/mapper.py:683-733) ----
     if eik:
-        coord_r = coord.reshape(T, B, 3)[:, :n_grad]
-        eps_mat = jnp.eye(3, dtype=coord.dtype) * mcfg.num_grad_step
+        # slice the decimated rows FIRST: extracting full-width (T*B, 3)
+        # coords materializes a 125 MB tile-padded array for a 1/decimation
+        # subset
+        coord_r = rows.reshape(T, B, -1)[:, :n_grad, 0:3]
+        eps_mat = jnp.eye(3, dtype=coord_r.dtype) * mcfg.num_grad_step
         stencil = jnp.concatenate(
             [coord_r[:, None] + eps_mat[None, :, None, :],
              coord_r[:, None] - eps_mat[None, :, None, :]], axis=1)  # (T,6,n,3)
@@ -1282,14 +1284,21 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
         vecb_st = jnp.zeros((T, 0, VD), jnp.float32)
         nvec_st = jnp.zeros((T, 0, k, VD), jnp.float32)
 
+    # FLAT (T, B*k)/(T, B*VD) trailing layouts: a (T, B, k) scan input
+    # tile-pads its k=6 minor dim to 128 (21x memory expansion, ~125 MB per
+    # array at run_kitti shapes); the per-iteration fns view (B,k)/(B,VD)
     xs = dict(
-        safe_g=safe_g.reshape(T, B, k),
-        w=jnp.where(valid_k, w, 0.0).reshape(T, B, k),
-        vec_blend=vec_blend.reshape(T, B, -1), label=labels, weight=weights,
+        safe_g=safe_g.reshape(T, B * k),
+        w=jnp.where(valid_k, w, 0.0).reshape(T, B * k),
+        vec_blend=vec_blend.reshape(T, B * VD), label=labels, weight=weights,
         in_pool=in_pool, w_st=w_st, vecb_st=vecb_st)
     if not wf_first:
-        xs["nbr_vec"] = nbr_vec.reshape(T, B, k, VD)
-        xs["nvec_st"] = nvec_st
+        # FLAT (T, B, k*VD) layout: the natural (T, B, k, VD) shape tile-pads
+        # its (k=6, VD=3) minor dims to (8, 128) on TPU — a 57x memory
+        # expansion (~1 GB materialized at run_kitti shapes) carried through
+        # the scan; consumers reshape the minor dims back per use site
+        xs["nbr_vec"] = nbr_vec.reshape(T, B, k * VD)
+        xs["nvec_st"] = nvec_st.reshape(T, nvec_st.shape[1], k * VD)
     if sem_lab is not None:
         xs["sem_lab"] = sem_lab
     if col_lab is not None:
@@ -1322,7 +1331,7 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
             xs["esc"] = mcfg.weight_e * inp_e / denom_e[:, None]
             xs["wst2"] = xs.pop("w_st").reshape(T, 6 * n_grad, k)
             if not wf_first:
-                xs["nvst2"] = xs.pop("nvec_st").reshape(T, 6 * n_grad, k * VD)
+                xs["nvst2"] = xs.pop("nvec_st")      # already (T, 6n, k*VD) flat
     else:
         kcfg = ecfg = interp = None
 
@@ -1330,12 +1339,17 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
         """One iteration via the fused kernels; returns (loss, grads)."""
         from pin_slam_tpu.ops import train_kernel as tkn
 
+        # unflatten the tile-padding-hostile minor dims (see the xs layout
+        # note): stored flat, viewed (B,k)/(B,VD) per iteration
+        x = dict(x)
+        x["safe_g"] = x["safe_g"].reshape(B, k)
+        x["w"] = x["w"].reshape(B, k)
+        x["vec_blend"] = x["vec_blend"].reshape(B, VD)
         geo = params_c.geo
         W1c, b1c = geo.hidden[0]
         W2c, b2c = geo.out
         feats2 = params_c.features[x["safe_g"]].reshape(B, k * (F + 1))
-        vin = (x["vec_blend"] if wf_first
-               else x["nbr_vec"].reshape(B, k * VD))
+        vin = x["vec_blend"] if wf_first else x["nbr_vec"]
         loss, dfe, dW1, db1, dW2, db2 = tkn.fused_train_iter(
             kcfg, feats2, x["w"], vin, x["label"], x["wt_eff"],
             W1c, b1c, W2c, b2c[0], interpret=interp)
@@ -1359,6 +1373,12 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
 
     def one_iter(carry, x):
         params_c, opt_c, cert_acc = carry
+        # unflatten the tile-padding-hostile minor dims (see the xs layout
+        # note): stored flat, viewed (B,k)/(B,VD) per iteration
+        x = dict(x)
+        x["safe_g"] = x["safe_g"].reshape(B, k)
+        x["w"] = x["w"].reshape(B, k)
+        x["vec_blend"] = x["vec_blend"].reshape(B, VD)
 
         def loss_fn(p: TrainableParams):
             feats = p.features[x["safe_g"]]               # (B,k,F+1) one gather
@@ -1371,7 +1391,7 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
                 # per-neighbor decode + IDW blend of the k PREDICTIONS
                 # (ref model/neural_points.py:660-665, utils/config.py:89);
                 # each neighbor's input is its own feature + offset vector
-                per_in = jnp.concatenate([feats[..., :F], x["nbr_vec"]], -1)
+                per_in = jnp.concatenate([feats[..., :F], x["nbr_vec"].reshape(B, k, VD)], -1)
                 sdf_k = dec.sdf(p.geo, per_in, mcfg.sdf_scale)       # (B,k)
                 sdf_pred = jnp.sum(sdf_k * x["w"], axis=-1)
             loss = losses.sdf_bce_loss(sdf_pred, x["label"], mcfg.sigma_sigmoid,
@@ -1393,7 +1413,7 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
                         [jnp.broadcast_to(f_base[None, :, :, :F],
                                           (6,) + f_base[..., :F].shape
                                           ).reshape(6 * n_grad, k, F),
-                         x["nvec_st"]], -1)
+                         x["nvec_st"].reshape(6 * n_grad, k, VD)], -1)
                     sdf_st_k = dec.sdf(p.geo, st_in, mcfg.sdf_scale)
                     sdf_st = jnp.sum(
                         sdf_st_k * x["w_st"].reshape(6 * n_grad, k),
@@ -1426,7 +1446,7 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
                 else:
                     # per-neighbor color decode + prediction blend
                     # (ref utils/mapper.py:474-477; ADVICE r3 #1)
-                    cin = jnp.concatenate([cfeats, x["nbr_vec"]], -1)
+                    cin = jnp.concatenate([cfeats, x["nbr_vec"].reshape(B, k, VD)], -1)
                     color_k = dec.regress_color(p.color, cin)        # (B,k,C)
                     color_pred = jnp.einsum("bk,bkc->bc", x["w"], color_k)
                 surf = x["in_pool"] & (jnp.abs(x["label"]) < mcfg.surface_sample_range)
@@ -1487,6 +1507,12 @@ def mapping_loop_cached(lm: npts.LocalMap, mc: npts.MapConfig,
 
         def one_iter_k(carry, x):
             (feats_t, gvec), opt_c, cert_acc = carry
+            # unflatten the tile-padding-hostile minor dims (see the xs layout
+            # note): stored flat, viewed (B,k)/(B,VD) per iteration
+            x = dict(x)
+            x["safe_g"] = x["safe_g"].reshape(B, k)
+            x["w"] = x["w"].reshape(B, k)
+            x["vec_blend"] = x["vec_blend"].reshape(B, VD)
             W1c, b1c, W2c, b2c = unpack_vec(gvec)
             feats2 = feats_t[x["safe_g"]].reshape(B, k * (F + 1))
             vin = (x["vec_blend"] if wf_first
