@@ -905,8 +905,10 @@ class SlamSystem:
         from pin_slam_tpu.slam.mesher import Mesher, MesherConfig
 
         if not hasattr(self, "_vis_mesher"):
+            over = getattr(self, "_mc_overrides", {})
             self._vis_mesher = Mesher(MesherConfig(
-                mc_res_m=cfg.mc_res_m, mesh_min_nn=cfg.mesh_min_nn,
+                mc_res_m=float(over.get("mc_res_m", cfg.mc_res_m)),
+                mesh_min_nn=int(over.get("mesh_min_nn", cfg.mesh_min_nn)),
                 min_cluster_vertices=cfg.min_cluster_vertices,
                 query_bucket=cfg.mesh_query_bucket), self.mc, self.offsets,
                 dp_mesh=getattr(self, "_dp_mesh", None))
@@ -1296,6 +1298,17 @@ class SlamSystem:
             self._mesh_now = True
             self._write_control(ctl)
         self._pause_at_loop = bool(ctl.get("pause_at_loop", False))
+        # live marching-cubes tuning (ref utils/visualizer.py:211-242: the
+        # o3d window's keys adjust mc resolution / min-nn mask on the fly):
+        # control.json {"mc_res_m": 0.2, "mesh_min_nn": 6} re-parameterizes
+        # the periodic mesher from the next mesh on
+        mc_over = {k: ctl[k] for k in ("mc_res_m", "mesh_min_nn")
+                   if k in ctl}
+        if mc_over and mc_over != getattr(self, "_mc_overrides", None):
+            self._mc_overrides = mc_over
+            if hasattr(self, "_vis_mesher"):
+                del self._vis_mesher          # rebuilt with the new params
+            print(f"[pipeline] live mesher retune: {mc_over}", flush=True)
         waited = False
         while ctl.get("pause"):
             if int(ctl.get("step", 0) or 0) > 0:

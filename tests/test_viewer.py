@@ -159,3 +159,24 @@ def test_viewer_server_control_post(tmp_path):
         assert state == {"pause": True, "step": 3}
     finally:
         httpd.shutdown()
+
+
+def test_control_live_mc_retune(tmp_path):
+    """control.json mc_res_m / mesh_min_nn re-parameterize the periodic
+    mesher live (ref utils/visualizer.py:211-242 key-tuning)."""
+    from pin_slam_tpu.config import Config
+    from pin_slam_tpu.slam.pipeline import SlamSystem
+
+    S = object.__new__(SlamSystem)
+    S.config = Config()
+    S.config.run_path = str(tmp_path)
+    S.frame_id = 1
+    S._vis_mesher = object()           # stands in for a built mesher
+    S._write_control({"mc_res_m": 0.2, "mesh_min_nn": 6})
+    S._poll_control()
+    assert S._mc_overrides == {"mc_res_m": 0.2, "mesh_min_nn": 6}
+    assert not hasattr(S, "_vis_mesher")   # dropped -> rebuilt with overrides
+    # unchanged overrides don't thrash the mesher
+    S._vis_mesher = object()
+    S._poll_control()
+    assert hasattr(S, "_vis_mesher")
